@@ -1,0 +1,182 @@
+"""Per-task decode heads (NHWC, flax).
+
+Rebuilds of the reference heads selected by ``get_head``
+(models/swin_mtl.py:15-57):
+  - ``hrnet``     -> HighResolutionHead (models/seg_hrnet.py:498-526), default
+  - ``segformer`` -> SegFormerHead (models/segformer.py:54-111)
+  - ``aspp``      -> DeepLabHead (models/aspp.py:19-94 multiscale /
+                     models/aspp_single.py single-scale)
+  - ``updecoder`` -> Decoder (models/updecoder.py:18-111)
+
+All heads consume a list of 4 NHWC feature maps [B, H_s, W_s, C_s]
+(1/8, 1/16, 1/32, 1/32 of input for the Swin-448 config) and emit logits
+at the finest scale; the DecoderGroup resizes to image size.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """NHWC bilinear resize, torch align_corners=False semantics."""
+    B, H, W, C = x.shape
+    if (H, W) == tuple(size):
+        return x
+    return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear")
+
+
+def _upcat(xs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Upsample scales 1..3 to scale 0's resolution and concat channels
+    (the shared prologue of every reference head)."""
+    size = xs[0].shape[1:3]
+    return jnp.concatenate(
+        [xs[0]] + [resize_bilinear(x, size) for x in xs[1:]], axis=-1)
+
+
+class ConvBNRelu(nn.Module):
+    features: int
+    kernel: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    bn_momentum: float = 0.9
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    padding=pad, kernel_dilation=(self.dilation,) * 2,
+                    use_bias=self.use_bias, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, epsilon=1e-5,
+                         dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class HighResolutionHead(nn.Module):
+    """Default head: 1x1 conv expand (4x) + BN + ReLU + 1x1 predict
+    (reference seg_hrnet.py:498-526)."""
+    num_outputs: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], *, train: bool = False):
+        x = _upcat(xs)
+        c = x.shape[-1]
+        x = ConvBNRelu(c * 4, kernel=1, dtype=self.dtype, name="expand")(
+            x, train=train)
+        return nn.Conv(self.num_outputs, (1, 1), dtype=self.dtype,
+                       name="pred")(x)
+
+
+class SegFormerHead(nn.Module):
+    """Per-scale linear embed -> resize -> fuse -> predict
+    (reference segformer.py:54-111)."""
+    num_outputs: int
+    channels: int = 256
+    dropout_ratio: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], *, train: bool = False):
+        size = xs[0].shape[1:3]
+        embeds = []
+        # concat order [c4, c3, c2, c1] (reference segformer.py:105)
+        for i in (3, 2, 1, 0):
+            e = nn.Dense(self.channels, dtype=self.dtype,
+                         name=f"linear_c{i + 1}")(xs[i])
+            embeds.append(resize_bilinear(e, size))
+        x = jnp.concatenate(embeds, axis=-1)
+        x = ConvBNRelu(self.channels, kernel=1, use_bias=False,
+                       dtype=self.dtype, name="linear_fuse")(x, train=train)
+        x = nn.Dropout(self.dropout_ratio, deterministic=not train)(x)
+        return nn.Conv(self.num_outputs, (1, 1), dtype=self.dtype,
+                       name="linear_pred")(x)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (reference aspp.py:55-94)."""
+    out_channels: int = 256
+    rates: Tuple[int, ...] = (12, 24, 36)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        res = [ConvBNRelu(self.out_channels, kernel=1, use_bias=False,
+                          dtype=self.dtype, name="conv1x1")(x, train=train)]
+        for i, rate in enumerate(self.rates):
+            res.append(ConvBNRelu(
+                self.out_channels, kernel=3, dilation=rate, use_bias=False,
+                dtype=self.dtype, name=f"atrous_{i}")(x, train=train))
+        # global-pool branch
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = ConvBNRelu(self.out_channels, kernel=1, use_bias=False,
+                       dtype=self.dtype, name="pool_conv")(g, train=train)
+        res.append(jnp.broadcast_to(g, res[0].shape))
+        x = jnp.concatenate(res, axis=-1)
+        x = ConvBNRelu(self.out_channels, kernel=1, use_bias=False,
+                       dtype=self.dtype, name="project")(x, train=train)
+        return nn.Dropout(0.5, deterministic=not train)(x)
+
+
+class DeepLabHead(nn.Module):
+    """ASPP head (reference aspp.py:19-28 / aspp_single.py)."""
+    num_outputs: int
+    multiscale: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xs, *, train: bool = False):
+        x = _upcat(xs) if self.multiscale else (
+            xs if not isinstance(xs, (list, tuple)) else xs[0])
+        x = ASPP(dtype=self.dtype, name="aspp")(x, train=train)
+        x = ConvBNRelu(256, kernel=3, use_bias=False, dtype=self.dtype,
+                       name="fuse")(x, train=train)
+        return nn.Conv(self.num_outputs, (1, 1), dtype=self.dtype,
+                       name="pred")(x)
+
+
+class UpDecoder(nn.Module):
+    """3x stride-2 deconv stack + conv + 2x bilinear up
+    (reference updecoder.py:18-61; num_deconv=3, filters 32, kernels 2)."""
+    num_outputs: int
+    num_filters: Tuple[int, ...] = (32, 32, 32)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], *, train: bool = False):
+        x = _upcat(xs)
+        for i, f in enumerate(self.num_filters):
+            x = nn.ConvTranspose(f, (2, 2), strides=(2, 2), use_bias=False,
+                                 dtype=self.dtype, name=f"deconv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"deconv_bn_{i}")(x)
+            x = nn.relu(x)
+        x = ConvBNRelu(self.num_outputs, kernel=3, dtype=self.dtype,
+                       name="out_conv")(x, train=train)
+        B, H, W, C = x.shape
+        return jax.image.resize(x, (B, H * 4, W * 4, C), method="bilinear")
+
+
+def get_head(task: str, num_outputs: int, config, *, dtype=None,
+             multiscale: bool = True) -> nn.Module:
+    """Head factory (reference models/swin_mtl.py:15-57)."""
+    head_type = config.MODEL.DECODER_HEAD.get(task, "hrnet")
+    if head_type == "hrnet":
+        return HighResolutionHead(num_outputs=num_outputs, dtype=dtype,
+                                  name=f"decoder_{task}")
+    if head_type == "segformer":
+        return SegFormerHead(num_outputs=num_outputs,
+                             channels=config.MODEL.SEGFORMER_CHANNELS,
+                             dtype=dtype, name=f"decoder_{task}")
+    if head_type == "updecoder":
+        return UpDecoder(num_outputs=num_outputs, dtype=dtype,
+                         name=f"decoder_{task}")
+    return DeepLabHead(num_outputs=num_outputs, multiscale=multiscale,
+                       dtype=dtype, name=f"decoder_{task}")

@@ -1,0 +1,309 @@
+"""Task-shared + task-specific low-rank adapters (MTLoRA core).
+
+TPU-native rebuild of reference ``models/lora.py``. The key redesign: the
+reference computes T per-task adapter branches as sequential Python-dict
+matmuls (``models/lora.py:262-282``); here per-task adapters are stored as
+stacked arrays ``A_tasks [T, in, r]`` / ``B_tasks [T, r, out]`` and all T
+low-rank updates run as ONE batched einsum on the MXU, with task features
+threaded as a stacked ``[T, B, ..., C]`` array instead of a dict.
+
+Per-task ranks may differ (reference ``r = {'shared': .., task: ..}``);
+they are padded to ``max(r_t)`` with a static rank mask so padded slots
+contribute exactly zero forward AND backward (mask multiplies A, so B's
+gradient through dead slots vanishes too).
+
+Shared modes (reference models/lora.py:177-182, 259-282):
+  - ``matrix``:   y = Wx + s_s * B_s A_s x;  y_t = Wx + s_t * B_t A_t x_t
+  - ``matrixv2``: y_t additionally includes the shared update
+  - ``addition``: y = Wx + LN(sum_t y_t); no shared A/B pair
+  - ``lora_only``: tasks stripped -> behaves as ``matrix`` with no tasks
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class LoRASpec:
+    """Per-layer (per-Swin-stage) adapter hyperparameters.
+
+    Resolved from ``MODEL.MTLORA.R_PER_TASK_LIST[stage]`` /
+    ``SCALE_PER_TASK_LIST[stage]`` (reference config.py:545-557).
+    """
+    r_shared: int = 0
+    r_tasks: Tuple[int, ...] = ()
+    shared_scale: float = 1.0
+    task_scales: Tuple[float, ...] = ()
+    dropout: float = 0.0
+    trainable_scale_shared: bool = False
+    trainable_scale_per_task: bool = False
+    shared_mode: str = "matrix"
+
+
+@dataclasses.dataclass(frozen=True)
+class MTLoRASpec:
+    """Whole-backbone adapter plan (from ``MODEL.MTLORA.*``)."""
+    enabled: bool = False
+    tasks: Tuple[str, ...] = ()
+    stage_specs: Tuple[LoRASpec, ...] = ()
+    qkv_enabled: bool = True
+    proj_enabled: bool = True
+    fc1_enabled: bool = True
+    fc2_enabled: bool = True
+    downsampler_enabled: bool = False
+    intermediate_specialization: bool = False
+    split_qkv: bool = False
+
+    @property
+    def num_tasks(self) -> int:
+        return len(self.tasks)
+
+    @staticmethod
+    def from_config(config) -> "MTLoRASpec":
+        """Build from a frozen ConfigNode (after normalize_mtlora)."""
+        m = config.MODEL.MTLORA
+        if not m.ENABLED:
+            return MTLoRASpec(enabled=False)
+        tasks = tuple(config.TASKS)
+        specs = []
+        for stage in range(len(config.MODEL.SWIN.DEPTHS)):
+            r_map = m.R_PER_TASK_LIST[stage]
+            s_map = m.SCALE_PER_TASK_LIST[stage]
+            specs.append(LoRASpec(
+                r_shared=int(r_map["shared"]),
+                r_tasks=tuple(int(r_map[t]) for t in tasks),
+                shared_scale=float(m.SHARED_SCALE[stage]),
+                task_scales=tuple(float(s_map[t]) for t in tasks),
+                dropout=float(m.DROPOUT[stage]),
+                trainable_scale_shared=bool(m.TRAINABLE_SCALE_SHARED),
+                trainable_scale_per_task=bool(m.TRAINABLE_SCALE_PER_TASK),
+                shared_mode=str(m.SHARED_MODE),
+            ))
+        return MTLoRASpec(
+            enabled=True,
+            tasks=tasks,
+            stage_specs=tuple(specs),
+            qkv_enabled=bool(m.QKV_ENABLED),
+            proj_enabled=bool(m.PROJ_ENABLED),
+            fc1_enabled=bool(m.FC1_ENABLED),
+            fc2_enabled=bool(m.FC2_ENABLED),
+            downsampler_enabled=bool(m.DOWNSAMPLER_ENABLED),
+            intermediate_specialization=bool(m.INTERMEDIATE_SPECIALIZATION),
+            split_qkv=bool(m.SPLIT_QKV),
+        )
+
+
+def _kaiming_uniform_rows(key, shape, dtype):
+    """torch kaiming_uniform_(a=sqrt(5)) on an [r, fan_in]-style tensor:
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)). Here shape is [fan_in, r] (JAX
+    x@W layout), so fan_in is shape[-2]."""
+    fan_in = shape[-2]
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class MTLoRALinear(nn.Module):
+    """Linear layer with frozen pretrained weight + shared/per-task LoRA.
+
+    Call: ``(x, x_tasks) -> (y_shared, y_tasks)`` where ``x`` is
+    ``[..., in]``, ``x_tasks`` is ``[T, ..., in]`` or None (broadcast the
+    shared input, reference models/lora.py:263), ``y_tasks`` is
+    ``[T, ..., out]`` or None.
+
+    Parameter layout (JAX convention, x @ kernel):
+      linear/kernel [in, out], linear/bias [out]
+      lora_shared_A [in, r_s], lora_shared_B [r_s, out]
+      lora_tasks_A [T, in, r_max], lora_tasks_B [T, r_max, out]
+    """
+    in_features: int
+    out_features: int
+    spec: LoRASpec = LoRASpec()
+    has_tasks: bool = False         # whether per-task branches exist
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None   # compute dtype (None = param dtype)
+
+    @property
+    def _mode(self) -> str:
+        mode = self.spec.shared_mode
+        if mode == "add":
+            mode = "addition"
+        if mode == "lora_only" or not self._tasks_active:
+            # no-task layers fall back to plain shared-matrix LoRA
+            # (reference models/lora.py:179-186)
+            return "matrix"
+        return mode
+
+    @property
+    def _tasks_active(self) -> bool:
+        return (self.has_tasks and len(self.spec.r_tasks) > 0
+                and self.spec.shared_mode != "lora_only")
+
+    @nn.compact
+    def __call__(self, x, x_tasks=None, *, deterministic: bool = True):
+        spec = self.spec
+        param_dtype = jnp.float32
+        kernel = self.param(
+            "kernel", nn.initializers.truncated_normal(0.02, lower=-2, upper=2),
+            (self.in_features, self.out_features), param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_features,), param_dtype)
+                if self.use_bias else None)
+
+        dtype = self.dtype or x.dtype
+        xc = x.astype(dtype)
+        pretrained = xc @ kernel.astype(dtype)
+        if bias is not None:
+            pretrained = pretrained + bias.astype(dtype)
+
+        if spec.r_shared == 0:
+            # adapters disabled entirely (reference models/lora.py:256-257)
+            return pretrained, None
+
+        mode = self._mode
+        tasks_active = self._tasks_active
+        T = len(spec.r_tasks) if tasks_active else 0
+
+        # dropout on the SHARED input only (reference models/lora.py:258:
+        # x is dropped before both branches, but x_tasks entries are not).
+        x_drop = xc
+        if spec.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - spec.dropout, xc.shape)
+            x_drop = jnp.where(keep, xc / (1.0 - spec.dropout), 0.0)
+
+        # ---- shared branch ------------------------------------------------
+        shared_update = None
+        if mode in ("matrix", "matrixv2"):
+            A_s = self.param("lora_shared_A", _kaiming_uniform_rows,
+                             (self.in_features, spec.r_shared), param_dtype)
+            B_s = self.param("lora_shared_B", nn.initializers.zeros,
+                             (spec.r_shared, self.out_features), param_dtype)
+            if spec.trainable_scale_shared:
+                s_s = self.param("lora_shared_scale",
+                                 nn.initializers.constant(spec.shared_scale),
+                                 (1,), param_dtype).astype(dtype)
+            else:
+                s_s = spec.shared_scale
+            shared_update = ((x_drop @ A_s.astype(dtype))
+                             @ B_s.astype(dtype)) * s_s
+
+        # ---- per-task branch ---------------------------------------------
+        y_tasks = None
+        if tasks_active:
+            r_max = max(spec.r_tasks)
+            A_t = self.param(
+                "lora_tasks_A", _kaiming_uniform_rows,
+                (T, self.in_features, r_max), param_dtype)
+            B_t = self.param("lora_tasks_B", nn.initializers.zeros,
+                             (T, r_max, self.out_features), param_dtype)
+            if spec.trainable_scale_per_task:
+                s_t = self.param(
+                    "lora_task_scale",
+                    lambda k, s, d: jnp.asarray(spec.task_scales, d), (T,),
+                    param_dtype).astype(dtype)
+            else:
+                s_t = jnp.asarray(spec.task_scales, dtype)
+            # static rank mask keeps padded slots exactly dead (fwd+bwd)
+            if any(r != r_max for r in spec.r_tasks):
+                rank_mask = (np.arange(r_max)[None, :]
+                             < np.asarray(spec.r_tasks)[:, None])
+                A_t = A_t * jnp.asarray(rank_mask, param_dtype)[:, None, :]
+            xt = x_drop[None] if x_tasks is None else x_tasks.astype(dtype)
+            # ONE batched-over-tasks low-rank update (the north-star fusion)
+            mid = jnp.einsum("t...i,tir->t...r", xt, A_t.astype(dtype))
+            task_update = jnp.einsum("t...r,tro->t...o", mid,
+                                     B_t.astype(dtype))
+            task_update = task_update * s_t.reshape(
+                (T,) + (1,) * (task_update.ndim - 1))
+            if mode == "matrixv2":
+                # per-task output also carries the shared update
+                # (reference models/lora.py:270-273)
+                y_tasks = pretrained[None] + shared_update[None] + task_update
+            else:
+                y_tasks = pretrained[None] + task_update
+            if mode == "addition":
+                # shared stream = LN(sum over per-task outputs)
+                # (reference models/lora.py:275-282)
+                shared_update = nn.LayerNorm(
+                    dtype=dtype, name="lora_norm")(jnp.sum(y_tasks, axis=0))
+
+        return pretrained + shared_update, y_tasks
+
+
+class LoRALinear(nn.Module):
+    """Single-adapter LoRA linear (reference models/lora.py:87-156).
+
+    Scaling follows the classic alpha/r rule. Used outside the MTL path.
+    """
+    in_features: int
+    out_features: int
+    r: int = 0
+    lora_alpha: float = 1.0
+    lora_dropout: float = 0.0
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        param_dtype = jnp.float32
+        kernel = self.param(
+            "kernel", nn.initializers.truncated_normal(0.02, lower=-2, upper=2),
+            (self.in_features, self.out_features), param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_features,), param_dtype)
+                if self.use_bias else None)
+        dtype = self.dtype or x.dtype
+        xc = x.astype(dtype)
+        y = xc @ kernel.astype(dtype)
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        if self.r == 0:
+            return y
+        A = self.param("lora_A", _kaiming_uniform_rows,
+                       (self.in_features, self.r), param_dtype)
+        B = self.param("lora_B", nn.initializers.zeros,
+                       (self.r, self.out_features), param_dtype)
+        x_drop = xc
+        if self.lora_dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.lora_dropout, xc.shape)
+            x_drop = jnp.where(keep, xc / (1.0 - self.lora_dropout), 0.0)
+        scaling = self.lora_alpha / self.r
+        return y + (x_drop @ A.astype(dtype)) @ B.astype(dtype) * scaling
+
+
+def merge_lora_weights(params):
+    """Fold LoRA updates into the frozen kernels for fast inference.
+
+    Equivalent of reference ``merge_lora_weights`` (models/lora.py:637) for
+    the shared stream: kernel += A_s @ B_s * scale. Per-task adapters are
+    left untouched (the reference's MTLoRALinear.merge is NotImplemented;
+    models/lora.py:249-251).
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = dict(flat)
+    for path, val in flat.items():
+        if path[-1] == "lora_shared_A":
+            base = path[:-1]
+            B = flat.get(base + ("lora_shared_B",))
+            kernel = flat.get(base + ("kernel",))
+            if B is None or kernel is None:
+                continue
+            # NOTE: static shared_scale is not recoverable from params when
+            # non-trainable; caller passes merged scale via closure if != 1.
+            out[base + ("kernel",)] = kernel + val @ B
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def is_lora_param(path: Tuple[str, ...]) -> bool:
+    """True if a flattened param path belongs to a LoRA adapter."""
+    return any(p.startswith("lora_") for p in path)

@@ -1,0 +1,230 @@
+"""Multi-task model assembly (reference models/swin_mtl.py).
+
+``MultiTaskSwin`` wraps the Swin backbone, routes per-task feature streams
+through per-task channel downsamplers, applies per-task decode heads, and
+bilinearly resizes logits to image size.
+
+TPU-first redesign: the per-task 1x1-conv downsamplers
+(reference Downsampler, swin_mtl.py:88-135 — a ModuleDict of T modules run
+in a Python loop) are stored as task-stacked kernels ``[T, C_in, C_out]``
+and applied to the stacked ``[T, B, H, W, C]`` streams as ONE einsum per
+scale, so all tasks ride a single MXU matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mtlora_tpu.models.heads import get_head, resize_bilinear
+from mtlora_tpu.models.lora import MTLoRASpec
+from mtlora_tpu.models.swin import SwinTransformerMTLoRA
+
+
+class PerTaskDownsampler(nn.Module):
+    """Task-stacked 1x1-conv channel reducers, one kernel per scale.
+
+    Parameter ``scale_{i}/kernel`` has shape [T, dims[i], channels[i]];
+    torch equivalent is ``downsampler.{task}.downsample_{i}.weight``
+    (swin_mtl.py:95-102), stacked over tasks.
+    """
+    num_tasks: int
+    dims: Tuple[int, ...]
+    channels: Tuple[int, ...]
+    input_res: Tuple[int, ...]
+    enabled: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, stage_feats: Sequence[jnp.ndarray]):
+        """stage_feats: per scale [T, B, L_s, C_s] -> [T, B, r, r, ch_s]."""
+        outs = []
+        for i, f in enumerate(stage_feats):
+            T, B, L, C = f.shape
+            r = self.input_res[i]
+            f = f.reshape(T, B, r, r, C)
+            if self.enabled:
+                k = self.param(
+                    f"scale_{i}",
+                    nn.initializers.variance_scaling(1 / 3, "fan_in",
+                                                     "uniform"),
+                    (self.num_tasks, self.dims[i], self.channels[i]),
+                    jnp.float32)
+                f = jnp.einsum("tbhwc,tco->tbhwo", f,
+                               k.astype(f.dtype),
+                               preferred_element_type=jnp.float32
+                               ).astype(f.dtype)
+            outs.append(f)
+        return outs
+
+
+class SharedDownsampler(nn.Module):
+    """Single-stream channel reducer (non-MTL path; swin_mtl.py:186-191)."""
+    dims: Tuple[int, ...]
+    channels: Tuple[int, ...]
+    input_res: Tuple[int, ...]
+    enabled: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, stage_feats: Sequence[jnp.ndarray]):
+        outs = []
+        for i, f in enumerate(stage_feats):
+            B, L, C = f.shape
+            r = self.input_res[i]
+            f = f.reshape(B, r, r, C)
+            if self.enabled:
+                f = nn.Conv(self.channels[i], (1, 1), use_bias=False,
+                            dtype=self.dtype, name=f"downsample_{i}")(f)
+            outs.append(f)
+        return outs
+
+
+class MultiTaskSwin(nn.Module):
+    """Backbone + per-task downsamplers + per-task decode heads
+    (reference MultiTaskSwin, swin_mtl.py:138-246).
+
+    __call__(x [B, H, W, 3]) -> {task: [B, H, W, num_outputs]} (NHWC).
+    """
+    tasks: Tuple[str, ...]
+    num_outputs: Tuple[int, ...]
+    img_size: int
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
+    mtlora: MTLoRASpec = MTLoRASpec()
+    decoder_channels: Tuple[int, ...] = (18, 36, 72, 144)
+    decoder_downsampler: bool = True
+    per_task_downsampler: bool = True
+    head_types: Tuple[str, ...] = ()     # resolved per task in build
+    segformer_channels: int = 256
+    use_remat: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    # head factory needs a config-like view; build_mtl_model injects one
+    def _head_cfg(self):
+        class _NS:
+            pass
+
+        ns = _NS()
+        ns.MODEL = _NS()
+        ns.MODEL.DECODER_HEAD = {
+            t: (self.head_types[i] if self.head_types else "hrnet")
+            for i, t in enumerate(self.tasks)}
+        ns.MODEL.SEGFORMER_CHANNELS = self.segformer_channels
+        return ns
+
+    @property
+    def stage_dims(self) -> Tuple[int, ...]:
+        n = len(self.depths)
+        # stage i output is post-downsample except the last
+        # (reference swin_mtl.py:149-157)
+        return tuple(int(self.embed_dim * 2 ** (i + 1 if i < n - 1 else i))
+                     for i in range(n))
+
+    @property
+    def stage_res(self) -> Tuple[int, ...]:
+        n = len(self.depths)
+        pr = self.img_size // 4
+        return tuple(pr // (2 ** (i + 1 if i < n - 1 else i))
+                     for i in range(n))
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True,
+                 train_bn: Optional[bool] = None):
+        train_bn = (not deterministic) if train_bn is None else train_bn
+        backbone = SwinTransformerMTLoRA(
+            img_size=self.img_size, num_classes=0, embed_dim=self.embed_dim,
+            depths=self.depths, num_heads=self.num_heads,
+            window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            drop_rate=self.drop_rate, attn_drop_rate=self.attn_drop_rate,
+            drop_path_rate=self.drop_path_rate, ape=self.ape,
+            patch_norm=self.patch_norm, mtlora=self.mtlora,
+            use_remat=self.use_remat, dtype=self.dtype, name="backbone")
+        stages = backbone(x, deterministic=deterministic, return_stages=True)
+
+        channels = (self.decoder_channels if self.decoder_downsampler
+                    else self.stage_dims)
+        T = len(self.tasks)
+
+        if self.mtlora.enabled or self.per_task_downsampler:
+            if self.mtlora.enabled:
+                per_scale = [t for (_, t) in stages]  # [T, B, L, C] each
+            else:
+                per_scale = [
+                    jnp.broadcast_to(s[None], (T,) + s.shape)
+                    for (s, _) in stages]
+            down = PerTaskDownsampler(
+                num_tasks=T, dims=self.stage_dims, channels=channels,
+                input_res=self.stage_res,
+                enabled=self.decoder_downsampler, dtype=self.dtype,
+                name="downsampler")
+            feats = down(per_scale)  # per scale [T, B, r, r, ch]
+            task_feats = {t: [f[i] for f in feats]
+                          for i, t in enumerate(self.tasks)}
+        else:
+            down = SharedDownsampler(
+                dims=self.stage_dims, channels=channels,
+                input_res=self.stage_res, enabled=True, dtype=self.dtype,
+                name="downsampler")
+            feats = down([s for (s, _) in stages])
+            task_feats = {t: feats for t in self.tasks}
+
+        cfg = self._head_cfg()
+        out = {}
+        for i, task in enumerate(self.tasks):
+            head = get_head(task, self.num_outputs[i], cfg, dtype=self.dtype)
+            logits = head(task_feats[task], train=train_bn)
+            out[task] = resize_bilinear(
+                logits, (self.img_size, self.img_size))
+        return out
+
+
+def build_mtl_model(config, *, dtype=None) -> MultiTaskSwin:
+    """Model factory from a frozen config (reference models/build.py:22-86)."""
+    tasks = tuple(config.TASKS)
+    num_outputs = tuple(
+        int(config.TASKS_CONFIG.ALL_TASKS.NUM_OUTPUT[t]) for t in tasks)
+    swin = config.MODEL.SWIN
+    if dtype is None and config.get("AMP_ENABLE", False):
+        compute = config.get("TPU", {}).get("COMPUTE_DTYPE", "bfloat16")
+        dtype = jnp.bfloat16 if compute == "bfloat16" else None
+    return MultiTaskSwin(
+        tasks=tasks,
+        num_outputs=num_outputs,
+        img_size=int(config.DATA.IMG_SIZE),
+        embed_dim=int(swin.EMBED_DIM),
+        depths=tuple(swin.DEPTHS),
+        num_heads=tuple(swin.NUM_HEADS),
+        window_size=int(swin.WINDOW_SIZE),
+        mlp_ratio=float(swin.MLP_RATIO),
+        qkv_bias=bool(swin.QKV_BIAS),
+        qk_scale=swin.QK_SCALE,
+        drop_rate=float(config.MODEL.DROP_RATE),
+        attn_drop_rate=0.0,
+        drop_path_rate=float(config.MODEL.DROP_PATH_RATE),
+        ape=bool(swin.APE),
+        patch_norm=bool(swin.PATCH_NORM),
+        mtlora=MTLoRASpec.from_config(config),
+        decoder_channels=tuple(config.MODEL.DECODER_CHANNELS),
+        decoder_downsampler=bool(config.MODEL.DECODER_DOWNSAMPLER),
+        per_task_downsampler=bool(config.MODEL.PER_TASK_DOWNSAMPLER),
+        head_types=tuple(config.MODEL.DECODER_HEAD.get(t, "hrnet")
+                         for t in tasks),
+        segformer_channels=int(config.MODEL.SEGFORMER_CHANNELS),
+        use_remat=bool(config.get("TPU", {}).get("REMAT", False)
+                       or config.TRAIN.USE_CHECKPOINT),
+        dtype=dtype,
+    )

@@ -1,0 +1,434 @@
+"""Swin Transformer backbone with MTLoRA adapters (TPU-native).
+
+Rebuild of reference ``models/swin_transformer_mtlora.py`` (and, with
+``MTLoRASpec(enabled=False)``, of the vanilla ``models/swin_transformer.py``
+used by the full-fine-tune / frozen-backbone baselines).
+
+Design differences from the reference (torch):
+  - Per-task feature streams are a stacked ``[T, B, L, C]`` array, not a
+    ``{task: tensor}`` dict; all per-task compute is batched over T.
+  - NHWC layout end to end; window shift/partition are fused layout
+    transforms (``mtlora_tpu.ops.window``) that XLA folds into neighbors
+    — the TPU equivalent of the reference's fused CUDA window kernel.
+  - Attention mask / relative-position index are trace-time numpy
+    constants; everything is static-shape and jit-safe.
+
+Structural contract preserved (reference file:line):
+  - qkv adapters never have task branches (swin_transformer_mtlora.py:166)
+  - proj/fc1/fc2 carry task branches only on the LAST block of a stage
+    unless INTERMEDIATE_SPECIALIZATION (:531, :53, :174)
+  - task streams do not propagate across blocks; within a block the attn
+    task streams feed the MLP's fc1/fc2 (:395-408)
+  - PatchMerging is applied to the shared AND every task stream (:546-550)
+  - stages without adapters broadcast shared features per task (:744-745)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mtlora_tpu.models.lora import LoRASpec, MTLoRASpec, MTLoRALinear
+from mtlora_tpu.ops.attention import (
+    relative_position_index,
+    shift_attention_mask,
+    window_attention,
+)
+from mtlora_tpu.ops.window import (
+    shift_window_partition,
+    window_merge_unshift,
+)
+
+_NO_LORA = LoRASpec(r_shared=0)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        # mask over all leading (batch-like) dims, broadcast over (L, C)
+        shape = x.shape[:-2] + (1, 1)
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(self.make_rng("droppath"), keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP with MTLoRA task threading (reference Mlp:44-81)."""
+    in_features: int
+    hidden_features: int
+    spec: LoRASpec
+    fc1_tasks: bool
+    fc2_tasks: bool
+    drop: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, x_tasks=None, *, deterministic: bool = True):
+        fc1 = MTLoRALinear(self.in_features, self.hidden_features,
+                           spec=self.spec, has_tasks=self.fc1_tasks,
+                           dtype=self.dtype, name="fc1")
+        fc2 = MTLoRALinear(self.hidden_features, self.in_features,
+                           spec=self.spec, has_tasks=self.fc2_tasks,
+                           dtype=self.dtype, name="fc2")
+        drop = nn.Dropout(self.drop, deterministic=deterministic)
+
+        x, t = fc1(x, x_tasks, deterministic=deterministic)
+        x = drop(jax.nn.gelu(x, approximate=False))
+        if t is not None:
+            t = drop(jax.nn.gelu(t, approximate=False))
+        x, t = fc2(x, t, deterministic=deterministic)
+        x = drop(x)
+        if t is not None:
+            t = drop(t)
+        return x, t
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias + MTLoRA on qkv/proj
+    (reference WindowAttention:119-227)."""
+    dim: int
+    window_size: int
+    num_heads: int
+    spec: LoRASpec
+    qkv_lora: bool          # QKV_ENABLED (shared-only adapters)
+    proj_lora: bool         # PROJ_ENABLED
+    proj_tasks: bool        # proj produces per-task streams
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, shift_mask=None, *, deterministic: bool = True):
+        N = self.window_size * self.window_size
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02, lower=-2, upper=2),
+            ((2 * self.window_size - 1) ** 2, self.num_heads), jnp.float32)
+        rel_idx = relative_position_index(self.window_size)  # static [N, N]
+        rel_bias = bias_table[rel_idx.reshape(-1)].reshape(
+            N, N, self.num_heads).transpose(2, 0, 1)  # [nH, N, N]
+
+        qkv = MTLoRALinear(
+            self.dim, self.dim * 3,
+            spec=self.spec if self.qkv_lora else _NO_LORA,
+            has_tasks=False, use_bias=self.qkv_bias,
+            dtype=self.dtype, name="qkv")
+        proj = MTLoRALinear(
+            self.dim, self.dim,
+            spec=self.spec if self.proj_lora else _NO_LORA,
+            has_tasks=self.proj_tasks, dtype=self.dtype, name="proj")
+
+        qkv_out, _ = qkv(x, deterministic=deterministic)
+        drop_rng = (self.make_rng("dropout")
+                    if (self.attn_drop > 0 and not deterministic) else None)
+        attn_out = window_attention(
+            qkv_out, self.num_heads, rel_bias, shift_mask,
+            scale=self.qk_scale,
+            dropout_rate=0.0 if deterministic else self.attn_drop,
+            dropout_rng=drop_rng)
+        y, y_tasks = proj(attn_out, deterministic=deterministic)
+        pdrop = nn.Dropout(self.proj_drop, deterministic=deterministic)
+        y = pdrop(y)
+        if y_tasks is not None:
+            y_tasks = pdrop(y_tasks)
+        return y, y_tasks
+
+
+class SwinBlock(nn.Module):
+    """One Swin block: (S)W-MSA + MLP with task-stream production
+    (reference SwinTransformerBlock:246-408)."""
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    spec: LoRASpec
+    mtlora: MTLoRASpec
+    produce_tasks: bool      # last-block-of-stage or intermediate spec.
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        H, W = self.input_resolution
+        ws, shift = self.window_size, self.shift_size
+        if min(H, W) <= ws:
+            ws, shift = min(H, W), 0
+        B, L, C = x.shape
+        assert L == H * W, "input feature has wrong size"
+        m = self.mtlora
+        lora_on = m.enabled and self.produce_tasks
+        proj_tasks = lora_on and m.proj_enabled
+        fc1_tasks = lora_on and m.fc1_enabled
+        fc2_tasks = lora_on and m.fc2_enabled
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(B, H, W, C)
+        xw = shift_window_partition(x, ws, shift).reshape(-1, ws * ws, C)
+
+        mask = (jnp.asarray(shift_attention_mask(H, W, ws, shift))
+                if shift > 0 else None)
+        attn = WindowAttention(
+            dim=C, window_size=ws, num_heads=self.num_heads,
+            spec=self.spec,
+            qkv_lora=m.enabled and m.qkv_enabled,
+            proj_lora=m.enabled and m.proj_enabled,
+            proj_tasks=proj_tasks,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            dtype=self.dtype, name="attn")
+        aw, aw_tasks = attn(xw, mask, deterministic=deterministic)
+
+        dp = DropPath(self.drop_path, name="drop_path")
+        # merge windows + reverse shift (shared stream)
+        x = window_merge_unshift(
+            aw.reshape(-1, ws, ws, C), ws, shift, H, W, (B,)).reshape(B, L, C)
+        x = shortcut + dp(x, deterministic=deterministic)
+
+        attn_tasks = None
+        if aw_tasks is not None:
+            T = aw_tasks.shape[0]
+            t = window_merge_unshift(
+                aw_tasks.reshape(-1, ws, ws, C), ws, shift, H, W,
+                (T, B)).reshape(T, B, L, C)
+            attn_tasks = shortcut[None] + dp(t, deterministic=deterministic)
+
+        # FFN; task streams enter through norm2 (reference :395-396)
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        mlp = Mlp(in_features=C, hidden_features=int(C * self.mlp_ratio),
+                  spec=self.spec, fc1_tasks=fc1_tasks, fc2_tasks=fc2_tasks,
+                  drop=self.drop, dtype=self.dtype, name="mlp")
+        mlp_out, mlp_tasks = mlp(
+            norm2(x), norm2(attn_tasks) if attn_tasks is not None else None,
+            deterministic=deterministic)
+        x = x + dp(mlp_out, deterministic=deterministic)
+
+        if mlp_tasks is None:
+            return x, attn_tasks
+        if attn_tasks is None:
+            # quirk preserved: no shortcut on task streams when only the
+            # MLP produced them (reference :401-403)
+            return x, dp(mlp_tasks, deterministic=deterministic)
+        return x, attn_tasks + dp(mlp_tasks, deterministic=deterministic)
+
+
+class PatchMerging(nn.Module):
+    """2x2 patch merge + linear reduction (reference PatchMerging:429-472).
+
+    Pure single-stream function; BasicLayer batches shared + task streams
+    through it in one call.
+    """
+    input_resolution: Tuple[int, int]
+    dim: int
+    spec: LoRASpec          # _NO_LORA unless DOWNSAMPLER_ENABLED
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        H, W = self.input_resolution
+        *lead, L, C = x.shape
+        assert L == H * W and H % 2 == 0 and W % 2 == 0
+        x = x.reshape(*lead, H, W, C)
+        x0 = x[..., 0::2, 0::2, :]
+        x1 = x[..., 1::2, 0::2, :]
+        x2 = x[..., 0::2, 1::2, :]
+        x3 = x[..., 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = x.reshape(*lead, (H // 2) * (W // 2), 4 * C)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x, _ = MTLoRALinear(4 * C, 2 * C, spec=self.spec, has_tasks=False,
+                            use_bias=False, dtype=self.dtype,
+                            name="reduction")(x, deterministic=deterministic)
+        return x
+
+
+class BasicLayer(nn.Module):
+    """One Swin stage (reference BasicLayer:484-551)."""
+    dim: int
+    input_resolution: Tuple[int, int]
+    depth: int
+    num_heads: int
+    spec: LoRASpec
+    mtlora: MTLoRASpec
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: Sequence[float] = (0.0,)
+    has_downsample: bool = False
+    use_remat: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        tasks = None
+        Block = SwinBlock
+        if self.use_remat:
+            Block = nn.remat(SwinBlock, static_argnums=(),
+                             prevent_cse=False)
+        for i in range(self.depth):
+            blk = Block(
+                dim=self.dim, input_resolution=self.input_resolution,
+                num_heads=self.num_heads, spec=self.spec, mtlora=self.mtlora,
+                produce_tasks=(i == self.depth - 1
+                               or self.mtlora.intermediate_specialization),
+                window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, drop=self.drop,
+                attn_drop=self.attn_drop, drop_path=self.drop_path[i],
+                dtype=self.dtype, name=f"blocks_{i}")
+            x, t = blk(x, deterministic=deterministic)
+            if t is not None:
+                tasks = t  # only the last produced streams survive (ref :543-545)
+
+        if self.has_downsample:
+            down = PatchMerging(
+                input_resolution=self.input_resolution, dim=self.dim,
+                spec=(self.spec if (self.mtlora.enabled
+                                    and self.mtlora.downsampler_enabled)
+                      else _NO_LORA),
+                dtype=self.dtype, name="downsample")
+            if tasks is not None:
+                # one batched call over [shared + T tasks] streams
+                T, B, L, C = tasks.shape
+                stacked = jnp.concatenate([x[None], tasks], axis=0)
+                stacked = down(stacked.reshape((T + 1) * B, L, C),
+                               deterministic=deterministic)
+                stacked = stacked.reshape(T + 1, B, *stacked.shape[1:])
+                x, tasks = stacked[0], stacked[1:]
+            else:
+                x = down(x, deterministic=deterministic)
+        return x, tasks
+
+
+class PatchEmbed(nn.Module):
+    """Image -> patch tokens (reference PatchEmbed:565-605). NHWC conv."""
+    patch_size: int = 4
+    embed_dim: int = 96
+    patch_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, _ = x.shape
+        x = nn.Conv(self.embed_dim,
+                    kernel_size=(self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    dtype=self.dtype, name="proj")(x)
+        x = x.reshape(B, -1, self.embed_dim)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class SwinTransformerMTLoRA(nn.Module):
+    """Swin backbone producing per-stage (shared, per-task) features
+    (reference SwinTransformerMTLoRA:616-761)."""
+    img_size: int = 224
+    patch_size: int = 4
+    num_classes: int = 0
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
+    mtlora: MTLoRASpec = MTLoRASpec()
+    use_remat: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.depths)
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (self.num_layers - 1))
+
+    @property
+    def patches_resolution(self) -> Tuple[int, int]:
+        return (self.img_size // self.patch_size,
+                self.img_size // self.patch_size)
+
+    def _stage_spec(self, i: int) -> LoRASpec:
+        if self.mtlora.enabled and self.mtlora.stage_specs:
+            return self.mtlora.stage_specs[i]
+        return _NO_LORA
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True,
+                 return_stages: bool = True, flatten_ft: bool = False):
+        """x: [B, H, W, 3] NHWC image batch.
+
+        return_stages=True -> list of (x, tasks) per stage, tasks stacked
+        [T, B, L_s, C_s] (broadcast of shared features when a stage has no
+        adapters; reference :744-745).
+        """
+        B = x.shape[0]
+        x = PatchEmbed(patch_size=self.patch_size, embed_dim=self.embed_dim,
+                       patch_norm=self.patch_norm, dtype=self.dtype,
+                       name="patch_embed")(x)
+        if self.ape:
+            pos = self.param(
+                "absolute_pos_embed",
+                nn.initializers.truncated_normal(0.02, lower=-2, upper=2),
+                (1, x.shape[1], self.embed_dim), jnp.float32)
+            x = x + pos.astype(x.dtype)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        pr = self.patches_resolution
+        T = self.mtlora.num_tasks
+        outs = []
+        for i in range(self.num_layers):
+            start = sum(self.depths[:i])
+            layer = BasicLayer(
+                dim=int(self.embed_dim * 2 ** i),
+                input_resolution=(pr[0] // (2 ** i), pr[1] // (2 ** i)),
+                depth=self.depths[i], num_heads=self.num_heads[i],
+                spec=self._stage_spec(i), mtlora=self.mtlora,
+                window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop_rate, attn_drop=self.attn_drop_rate,
+                drop_path=dpr[start:start + self.depths[i]],
+                has_downsample=(i < self.num_layers - 1),
+                use_remat=self.use_remat, dtype=self.dtype,
+                name=f"layers_{i}")
+            x, tasks = layer(x, deterministic=deterministic)
+            if tasks is None and T > 0:
+                tasks = jnp.broadcast_to(x[None], (T,) + x.shape)
+            outs.append((x, tasks))
+
+        if return_stages:
+            return outs
+        if flatten_ft:
+            x = jnp.mean(x, axis=1)  # avgpool over tokens
+        if self.num_classes > 0:
+            x = nn.Dense(self.num_classes, name="head")(x)
+        return x

@@ -1,0 +1,124 @@
+"""Per-task losses and the weighted multi-task loss.
+
+Rebuild of reference ``mtl_loss_schemes.py`` with jit-safe, static-shape
+formulations: every ``masked_select`` becomes a ``jnp.where`` + count
+(SURVEY.md section 7.3 hard part 4). All reductions in float32.
+
+Semantics preserved (reference file:line):
+  - semseg/human_parts: softmax CE, ignore_index=255, mean over valid
+    (SoftMaxwithLoss:22-39; NLLLoss default mean over non-ignored)
+  - sal/edge: HED-balanced BCE-with-logits, size_average over ALL pixels
+    (BalancedCrossEntropyLoss:42-90); edge uses fixed pos_weight 0.95
+  - normals: L2-normalize pred, masked L1, sum / n_valid (NormalsLoss:162)
+  - depth: masked L1 mean over valid (DepthLoss:132)
+  - total = sum_t w_t * loss_t with fixed weights (main.py:192-199)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mtlora_tpu.data.task_config import LOSS_WEIGHTS
+
+
+def softmax_ce_ignore(logits: jnp.ndarray, label: jnp.ndarray,
+                      ignore_index: int = 255) -> jnp.ndarray:
+    """Cross entropy with ignore label, mean over valid pixels.
+
+    logits: [B, H, W, K] (NHWC); label: [B, H, W] or [B, H, W, 1] ints.
+    """
+    if label.ndim == logits.ndim:
+        label = label[..., 0]
+    label = label.astype(jnp.int32)
+    valid = label != ignore_index
+    safe = jnp.where(valid, label, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    n = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / n
+
+
+def balanced_bce_logits(logits: jnp.ndarray, label: jnp.ndarray,
+                        pos_weight: Optional[float] = None) -> jnp.ndarray:
+    """HED-style class-balanced binary CE on logits.
+
+    Matches BalancedCrossEntropyLoss.forward exactly, including its
+    numerically-stable log1p(exp) form and division by the TOTAL element
+    count (size_average=True), not the valid count.
+    """
+    x = logits.astype(jnp.float32)
+    y = (label.astype(jnp.float32) >= 0.5).astype(jnp.float32)
+    if pos_weight is None:
+        num_pos = y.sum()
+        num_total = jnp.asarray(y.size, jnp.float32)
+        w = (num_total - num_pos) / num_total
+    else:
+        w = pos_weight
+    x_gt0 = (x >= 0).astype(jnp.float32)
+    # log-sigmoid trick from the reference (mtl_loss_schemes.py:66-68)
+    loss_val = x * (y - x_gt0) - jnp.log1p(jnp.exp(x - 2.0 * x * x_gt0))
+    loss_pos = -(y * loss_val).sum()
+    loss_neg = -((1.0 - y) * loss_val).sum()
+    final = w * loss_pos + (1.0 - w) * loss_neg
+    return final / y.size
+
+
+def normals_loss(pred: jnp.ndarray, label: jnp.ndarray,
+                 ignore_label: int = 255) -> jnp.ndarray:
+    """L2-normalized masked L1, sum / n_valid (NormalsLoss:187-206).
+
+    pred/label: [B, H, W, 3]; mask is per-element (label != 255), matching
+    the reference's element-wise masked_select.
+    """
+    p = pred.astype(jnp.float32)
+    lbl = label.astype(jnp.float32)
+    # normalize over channel axis, +1e-12 like reference Normalize:156
+    norm = jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-12
+    p = p / norm
+    mask = lbl != ignore_label
+    diff = jnp.where(mask, jnp.abs(p - lbl), 0.0)
+    n_valid = jnp.maximum(mask.sum(), 1)
+    return diff.sum() / n_valid
+
+
+def depth_loss(pred: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """Masked L1, mean over valid (DepthLoss:146-148)."""
+    p = pred.astype(jnp.float32)
+    lbl = label.astype(jnp.float32)
+    mask = lbl != 255
+    diff = jnp.where(mask, jnp.abs(p - lbl), 0.0)
+    n = jnp.maximum(mask.sum(), 1)
+    return diff.sum() / n
+
+
+def get_task_loss(task: str):
+    """Loss dispatch (reference get_loss, mtl_loss_schemes.py:241-263)."""
+    if task in ("semseg", "human_parts"):
+        return softmax_ce_ignore
+    if task == "edge":
+        return lambda p, l: balanced_bce_logits(p, l, pos_weight=0.95)
+    if task == "sal":
+        return balanced_bce_logits
+    if task == "normals":
+        return normals_loss
+    if task == "depth":
+        return depth_loss
+    raise NotImplementedError(
+        f"Undefined loss for task {task!r}; choose among "
+        "edge, semseg, human_parts, sal, depth, normals")
+
+
+def multi_task_loss(preds: Dict[str, jnp.ndarray],
+                    targets: Dict[str, jnp.ndarray],
+                    tasks,
+                    loss_weights: Optional[Dict[str, float]] = None,
+                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Weighted sum of per-task losses (MultiTaskLoss:223-238)."""
+    weights = loss_weights or LOSS_WEIGHTS
+    per_task = {t: get_task_loss(t)(preds[t], targets[t]) for t in tasks}
+    total = sum(weights[t] * per_task[t] for t in tasks)
+    return total, per_task
