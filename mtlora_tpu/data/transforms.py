@@ -1,0 +1,216 @@
+"""Host-side augmentation pipeline (cv2/numpy, numerically matched).
+
+Rebuild of reference ``data/custom_transforms.py`` + the assembly in
+``data/mtl_ds.py:833-872``. Samples are dicts of float ndarrays keyed by
+'image' + task names; the pipeline is pure-numpy on the host (SURVEY.md
+section 7.3 hard part 3: cv2 warpAffine/resize interpolation semantics
+must match bit-for-bit for metric parity), and the output is NHWC
+float32 ready for device feeding — no torch anywhere.
+
+Semantics preserved per transform (reference file:line):
+  - RandomHorizontalFlip (:192-212): cv2.flip + normals x-negation
+  - ScaleNRotate (:24-91): warpAffine around center, normals in-plane
+    rotation BEFORE the warp, depth divided by scale
+  - FixedResize (:94-156): per-task interp flags, normals renormalized
+  - AddIgnoreRegions (:266-295): normals zero-norm->255, empty human
+    parts->255, depth zero->255
+  - Normalize (:333-344): image/255 then ImageNet mean/std
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence
+
+import cv2
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def fixed_resize(sample: np.ndarray, resolution, flagval=None) -> np.ndarray:
+    """Aspect-aware resize (reference data/helpers.py:60-85)."""
+    if flagval is None:
+        flagval = (cv2.INTER_NEAREST
+                   if ((sample == 0) | (sample == 1)).all()
+                   else cv2.INTER_CUBIC)
+    if isinstance(resolution, int):
+        tmp = [resolution, resolution]
+        tmp[int(np.argmax(sample.shape[:2]))] = int(round(
+            float(resolution) / np.min(sample.shape[:2])
+            * np.max(sample.shape[:2])))
+        resolution = tuple(tmp)
+    if sample.ndim == 2 or (sample.ndim == 3 and sample.shape[2] == 3):
+        return cv2.resize(sample, resolution[::-1], interpolation=flagval)
+    out = np.zeros(np.append(resolution, sample.shape[2]), dtype=float)
+    for ii in range(sample.shape[2]):
+        out[:, :, ii] = cv2.resize(sample[:, :, ii], resolution[::-1],
+                                   interpolation=flagval)
+    return out
+
+
+class RandomHorizontalFlip:
+    def __init__(self, rng: Optional[np.random.RandomState] = None):
+        self.rng = rng or np.random
+
+    def __call__(self, sample: Dict) -> Dict:
+        if self.rng.random_sample() < 0.5:
+            for k in list(sample.keys()):
+                if "meta" in k:
+                    continue
+                sample[k] = cv2.flip(sample[k], flipCode=1)
+                if k == "normals":
+                    sample[k][:, :, 0] *= -1
+        return sample
+
+
+class ScaleNRotate:
+    def __init__(self, rots=(-20, 20), scales=(0.75, 1.25), flagvals=None,
+                 rng: Optional[np.random.RandomState] = None):
+        assert isinstance(rots, type(scales))
+        self.rots = rots
+        self.scales = scales
+        self.flagvals = flagvals
+        self.rng = rng or np.random
+
+    def __call__(self, sample: Dict) -> Dict:
+        if isinstance(self.rots, tuple):
+            # continuous range centered at 0 rotation / 1.0 scale
+            rot = ((self.rots[1] - self.rots[0]) * self.rng.random_sample()
+                   - (self.rots[1] - self.rots[0]) / 2)
+            sc = ((self.scales[1] - self.scales[0])
+                  * self.rng.random_sample()
+                  - (self.scales[1] - self.scales[0]) / 2 + 1)
+        else:  # fixed lists
+            rot = self.rots[self.rng.randint(0, len(self.rots))]
+            sc = self.scales[self.rng.randint(0, len(self.scales))]
+
+        for k in list(sample.keys()):
+            if "meta" in k:
+                continue
+            tmp = sample[k]
+            h, w = tmp.shape[:2]
+            center = (w / 2, h / 2)
+            M = cv2.getRotationMatrix2D(center, rot, sc)
+            if self.flagvals is None:
+                if ((tmp == 0) | (tmp == 1)).all():
+                    flagval = cv2.INTER_NEAREST
+                else:
+                    flagval = cv2.INTER_CUBIC
+            else:
+                flagval = self.flagvals[k]
+            if k == "normals":
+                # rotate the normal vectors' in-plane component to match
+                in_plane = np.arctan2(tmp[:, :, 0], tmp[:, :, 1])
+                nrm0 = np.sqrt(tmp[:, :, 0] ** 2 + tmp[:, :, 1] ** 2)
+                rot_rad = rot * 2 * math.pi / 360
+                tmp[:, :, 0] = np.sin(in_plane + rot_rad) * nrm0
+                tmp[:, :, 1] = np.cos(in_plane + rot_rad) * nrm0
+            tmp = cv2.warpAffine(tmp, M, (w, h), flags=flagval)
+            if k == "depth":
+                tmp = tmp / sc
+            sample[k] = tmp
+        return sample
+
+
+class FixedResize:
+    def __init__(self, resolutions=None, flagvals=None):
+        self.resolutions = resolutions
+        self.flagvals = flagvals
+        if flagvals is not None:
+            assert len(resolutions) == len(flagvals)
+
+    def __call__(self, sample: Dict) -> Dict:
+        if self.resolutions is None:
+            return sample
+        for k in list(sample.keys()):
+            if "meta" in k or "bbox" in k:
+                continue
+            if k not in self.resolutions:
+                del sample[k]
+                continue
+            if self.resolutions[k] is None:
+                continue
+            flag = None if self.flagvals is None else self.flagvals[k]
+            sample[k] = fixed_resize(sample[k], self.resolutions[k], flag)
+            if k == "normals":
+                n = sample[k]
+                nn = np.sqrt((n ** 2).sum(axis=2)) + np.finfo(float).eps
+                sample[k] = n / nn[:, :, None]
+        return sample
+
+
+class AddIgnoreRegions:
+    def __call__(self, sample: Dict) -> Dict:
+        for k in list(sample.keys()):
+            tmp = sample[k]
+            if k == "normals":
+                nn = np.sqrt((tmp ** 2).sum(axis=2))
+                tmp[nn == 0, :] = 255.0
+                sample[k] = tmp
+            elif k == "human_parts":
+                if (tmp == 0).all():
+                    sample[k] = 255.0 * np.ones_like(tmp)
+            elif k == "depth":
+                tmp[tmp == 0] = 255.0
+                sample[k] = tmp
+        return sample
+
+
+class ToArrays:
+    """Finalize to NHWC float32 (replaces reference ToTensor+Normalize:
+    image -> uint8 -> /255 -> ImageNet normalize; labels keep [H, W, C])."""
+
+    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, sample: Dict) -> Dict:
+        for k in list(sample.keys()):
+            if "meta" in k:
+                continue
+            tmp = sample[k]
+            if tmp.ndim == 2:
+                tmp = tmp[:, :, None]
+            if k == "image":
+                # cast through uint8 like reference ToTensor:316-319
+                tmp = tmp.astype(np.uint8).astype(np.float32) / 255.0
+                tmp = (tmp - self.mean) / self.std
+            sample[k] = np.ascontiguousarray(tmp, np.float32)
+        return sample
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample):
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+
+def get_transformations(db_name: str, tasks_config: Dict,
+                        rng: Optional[np.random.RandomState] = None):
+    """Train/eval transform assembly (reference mtl_ds.py:833-872)."""
+    flagvals = dict(tasks_config["ALL_TASKS"]["FLAGVALS"])
+    if db_name == "NYUD":
+        train = [RandomHorizontalFlip(rng),
+                 ScaleNRotate(rots=[0], scales=[1.0, 1.2, 1.5],
+                              flagvals=flagvals, rng=rng)]
+    elif db_name == "PASCALContext":
+        train = [RandomHorizontalFlip(rng),
+                 ScaleNRotate(rots=(-20, 20), scales=(0.75, 1.25),
+                              flagvals=flagvals, rng=rng)]
+    else:
+        raise ValueError(f"Invalid db name {db_name}")
+    scale_tr = {x: tuple(tasks_config["TRAIN"]["SCALE"]) for x in flagvals}
+    train += [FixedResize(resolutions=scale_tr, flagvals=flagvals),
+              AddIgnoreRegions(), ToArrays()]
+
+    eval_flags = dict(tasks_config["FLAGVALS"])
+    scale_ts = {x: tuple(tasks_config["TEST"]["SCALE"]) for x in eval_flags}
+    test = [FixedResize(resolutions=scale_ts, flagvals=eval_flags),
+            AddIgnoreRegions(), ToArrays()]
+    return Compose(train), Compose(test)
