@@ -71,11 +71,13 @@ def main():
         warmup, timed = 5, 20
         for _ in range(warmup):
             state, metrics = step(state, batch)
-        jax.block_until_ready(metrics)
+        # NOTE: device_get forces a real sync; block_until_ready returns
+        # early on the experimental axon platform.
+        float(jax.device_get(metrics["loss"]))
         t0 = time.perf_counter()
         for _ in range(timed):
             state, metrics = step(state, batch)
-        jax.block_until_ready(metrics)
+        float(jax.device_get(metrics["loss"]))
         dt = time.perf_counter() - t0
         return timed * B / dt
 

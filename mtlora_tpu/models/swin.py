@@ -94,7 +94,16 @@ class Mlp(nn.Module):
 
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias + MTLoRA on qkv/proj
-    (reference WindowAttention:119-227)."""
+    (reference WindowAttention:119-227).
+
+    TPU layout redesign: the reference computes qkv/proj on the windowed
+    [B*nW, 49, C] layout (tiny per-window GEMMs). Since qkv/proj are
+    per-token linear maps they commute with the window partition, so here
+    they run on the flat token layout [B, L, C] — one large MXU-saturating
+    GEMM — and only the attention core touches the window layout. The
+    caller passes token-layout x plus (H, W, shift); numerics are
+    unchanged (verified by the torch parity suite).
+    """
     dim: int
     window_size: int
     num_heads: int
@@ -109,13 +118,17 @@ class WindowAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, shift_mask=None, *, deterministic: bool = True):
-        N = self.window_size * self.window_size
+    def __call__(self, x, hw: Tuple[int, int], shift: int,
+                 shift_mask=None, *, deterministic: bool = True):
+        H, W = hw
+        B, L, C = x.shape
+        ws = self.window_size
+        N = ws * ws
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02, lower=-2, upper=2),
-            ((2 * self.window_size - 1) ** 2, self.num_heads), jnp.float32)
-        rel_idx = relative_position_index(self.window_size)  # static [N, N]
+            ((2 * ws - 1) ** 2, self.num_heads), jnp.float32)
+        rel_idx = relative_position_index(ws)  # static [N, N]
         rel_bias = bias_table[rel_idx.reshape(-1)].reshape(
             N, N, self.num_heads).transpose(2, 0, 1)  # [nH, N, N]
 
@@ -129,15 +142,21 @@ class WindowAttention(nn.Module):
             spec=self.spec if self.proj_lora else _NO_LORA,
             has_tasks=self.proj_tasks, dtype=self.dtype, name="proj")
 
-        qkv_out, _ = qkv(x, deterministic=deterministic)
+        qkv_out, _ = qkv(x, deterministic=deterministic)  # [B, L, 3C]
+        qkv_w = shift_window_partition(
+            qkv_out.reshape(B, H, W, 3 * C), ws, shift
+        ).reshape(-1, N, 3 * C)
         drop_rng = (self.make_rng("dropout")
                     if (self.attn_drop > 0 and not deterministic) else None)
         attn_out = window_attention(
-            qkv_out, self.num_heads, rel_bias, shift_mask,
+            qkv_w, self.num_heads, rel_bias, shift_mask,
             scale=self.qk_scale,
             dropout_rate=0.0 if deterministic else self.attn_drop,
-            dropout_rng=drop_rng)
-        y, y_tasks = proj(attn_out, deterministic=deterministic)
+            dropout_rng=drop_rng)  # [B*nW, N, C]
+        attn_tok = window_merge_unshift(
+            attn_out.reshape(-1, ws, ws, C), ws, shift, H, W,
+            (B,)).reshape(B, L, C)
+        y, y_tasks = proj(attn_tok, deterministic=deterministic)
         pdrop = nn.Dropout(self.proj_drop, deterministic=deterministic)
         y = pdrop(y)
         if y_tasks is not None:
@@ -180,8 +199,6 @@ class SwinBlock(nn.Module):
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = x.reshape(B, H, W, C)
-        xw = shift_window_partition(x, ws, shift).reshape(-1, ws * ws, C)
 
         mask = (jnp.asarray(shift_attention_mask(H, W, ws, shift))
                 if shift > 0 else None)
@@ -194,21 +211,18 @@ class SwinBlock(nn.Module):
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             dtype=self.dtype, name="attn")
-        aw, aw_tasks = attn(xw, mask, deterministic=deterministic)
+        aw, aw_tasks = attn(x, (H, W), shift, mask,
+                            deterministic=deterministic)
 
         dp = DropPath(self.drop_path, name="drop_path")
-        # merge windows + reverse shift (shared stream)
-        x = window_merge_unshift(
-            aw.reshape(-1, ws, ws, C), ws, shift, H, W, (B,)).reshape(B, L, C)
-        x = shortcut + dp(x, deterministic=deterministic)
+        x = shortcut + dp(aw, deterministic=deterministic)
 
         attn_tasks = None
         if aw_tasks is not None:
-            T = aw_tasks.shape[0]
-            t = window_merge_unshift(
-                aw_tasks.reshape(-1, ws, ws, C), ws, shift, H, W,
-                (T, B)).reshape(T, B, L, C)
-            attn_tasks = shortcut[None] + dp(t, deterministic=deterministic)
+            # task streams emerge in token layout directly — the
+            # reference's per-task window_reverse+roll (:378-390) is gone
+            attn_tasks = shortcut[None] + dp(aw_tasks,
+                                             deterministic=deterministic)
 
         # FFN; task streams enter through norm2 (reference :395-396)
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
