@@ -110,6 +110,7 @@ class MultiTaskSwin(nn.Module):
     head_types: Tuple[str, ...] = ()     # resolved per task in build
     segformer_channels: int = 256
     use_remat: bool = False
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     # head factory needs a config-like view; build_mtl_model injects one
@@ -152,7 +153,8 @@ class MultiTaskSwin(nn.Module):
             drop_rate=self.drop_rate, attn_drop_rate=self.attn_drop_rate,
             drop_path_rate=self.drop_path_rate, ape=self.ape,
             patch_norm=self.patch_norm, mtlora=self.mtlora,
-            use_remat=self.use_remat, dtype=self.dtype, name="backbone")
+            use_remat=self.use_remat, use_pallas=self.use_pallas,
+            dtype=self.dtype, name="backbone")
         stages = backbone(x, deterministic=deterministic, return_stages=True)
 
         channels = (self.decoder_channels if self.decoder_downsampler
@@ -226,5 +228,18 @@ def build_mtl_model(config, *, dtype=None) -> MultiTaskSwin:
         segformer_channels=int(config.MODEL.SEGFORMER_CHANNELS),
         use_remat=bool(config.get("TPU", {}).get("REMAT", False)
                        or config.TRAIN.USE_CHECKPOINT),
+        use_pallas=_pallas_available(config),
         dtype=dtype,
     )
+
+
+def _pallas_available(config) -> bool:
+    """Pallas kernels run on real TPU only (tests use the CPU mesh)."""
+    import jax
+
+    if not bool(config.get("TPU", {}).get("USE_PALLAS", True)):
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False

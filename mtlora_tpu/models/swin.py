@@ -38,6 +38,7 @@ from mtlora_tpu.ops.attention import (
     shift_attention_mask,
     window_attention,
 )
+from mtlora_tpu.ops.pallas_window_attn import fused_window_attention
 from mtlora_tpu.ops.window import (
     shift_window_partition,
     window_merge_unshift,
@@ -115,6 +116,7 @@ class WindowAttention(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -143,19 +145,26 @@ class WindowAttention(nn.Module):
             has_tasks=self.proj_tasks, dtype=self.dtype, name="proj")
 
         qkv_out, _ = qkv(x, deterministic=deterministic)  # [B, L, 3C]
-        qkv_w = shift_window_partition(
-            qkv_out.reshape(B, H, W, 3 * C), ws, shift
-        ).reshape(-1, N, 3 * C)
-        drop_rng = (self.make_rng("dropout")
-                    if (self.attn_drop > 0 and not deterministic) else None)
-        attn_out = window_attention(
-            qkv_w, self.num_heads, rel_bias, shift_mask,
-            scale=self.qk_scale,
-            dropout_rate=0.0 if deterministic else self.attn_drop,
-            dropout_rng=drop_rng)  # [B*nW, N, C]
-        attn_tok = window_merge_unshift(
-            attn_out.reshape(-1, ws, ws, C), ws, shift, H, W,
-            (B,)).reshape(B, L, C)
+        attn_dropping = self.attn_drop > 0 and not deterministic
+        if self.use_pallas and not attn_dropping:
+            attn_tok = fused_window_attention(
+                qkv_out.reshape(B, H, W, 3 * C), self.num_heads, rel_bias,
+                ws, shift, shift_mask, scale=self.qk_scale,
+            ).reshape(B, L, C)
+        else:
+            qkv_w = shift_window_partition(
+                qkv_out.reshape(B, H, W, 3 * C), ws, shift
+            ).reshape(-1, N, 3 * C)
+            drop_rng = (self.make_rng("dropout")
+                        if attn_dropping else None)
+            attn_out = window_attention(
+                qkv_w, self.num_heads, rel_bias, shift_mask,
+                scale=self.qk_scale,
+                dropout_rate=0.0 if deterministic else self.attn_drop,
+                dropout_rng=drop_rng)  # [B*nW, N, C]
+            attn_tok = window_merge_unshift(
+                attn_out.reshape(-1, ws, ws, C), ws, shift, H, W,
+                (B,)).reshape(B, L, C)
         y, y_tasks = proj(attn_tok, deterministic=deterministic)
         pdrop = nn.Dropout(self.proj_drop, deterministic=deterministic)
         y = pdrop(y)
@@ -181,10 +190,13 @@ class SwinBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
+        # NOTE: `deterministic` is positional (not keyword-only) so
+        # nn.remat can mark it static (static_argnums) in BasicLayer.
         H, W = self.input_resolution
         ws, shift = self.window_size, self.shift_size
         if min(H, W) <= ws:
@@ -210,7 +222,7 @@ class SwinBlock(nn.Module):
             proj_tasks=proj_tasks,
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop,
-            dtype=self.dtype, name="attn")
+            use_pallas=self.use_pallas, dtype=self.dtype, name="attn")
         aw, aw_tasks = attn(x, (H, W), shift, mask,
                             deterministic=deterministic)
 
@@ -290,6 +302,7 @@ class BasicLayer(nn.Module):
     drop_path: Sequence[float] = (0.0,)
     has_downsample: bool = False
     use_remat: bool = False
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -297,7 +310,8 @@ class BasicLayer(nn.Module):
         tasks = None
         Block = SwinBlock
         if self.use_remat:
-            Block = nn.remat(SwinBlock, static_argnums=(),
+            # argnums: (self, x, deterministic) -> deterministic is static
+            Block = nn.remat(SwinBlock, static_argnums=(2,),
                              prevent_cse=False)
         for i in range(self.depth):
             blk = Block(
@@ -310,8 +324,9 @@ class BasicLayer(nn.Module):
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale, drop=self.drop,
                 attn_drop=self.attn_drop, drop_path=self.drop_path[i],
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name=f"blocks_{i}")
-            x, t = blk(x, deterministic=deterministic)
+            x, t = blk(x, deterministic)
             if t is not None:
                 tasks = t  # only the last produced streams survive (ref :543-545)
 
@@ -375,6 +390,7 @@ class SwinTransformerMTLoRA(nn.Module):
     patch_norm: bool = True
     mtlora: MTLoRASpec = MTLoRASpec()
     use_remat: bool = False
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @property
@@ -432,8 +448,8 @@ class SwinTransformerMTLoRA(nn.Module):
                 drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                 drop_path=dpr[start:start + self.depths[i]],
                 has_downsample=(i < self.num_layers - 1),
-                use_remat=self.use_remat, dtype=self.dtype,
-                name=f"layers_{i}")
+                use_remat=self.use_remat, use_pallas=self.use_pallas,
+                dtype=self.dtype, name=f"layers_{i}")
             x, tasks = layer(x, deterministic=deterministic)
             if tasks is None and T > 0:
                 tasks = jnp.broadcast_to(x[None], (T,) + x.shape)

@@ -35,9 +35,17 @@ def softmax_ce_ignore(logits: jnp.ndarray, label: jnp.ndarray,
     label = label.astype(jnp.int32)
     valid = label != ignore_index
     safe = jnp.where(valid, label, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    nll = jnp.where(valid, nll, 0.0)
+    # nll = logsumexp(x) - x[label], via one-hot contraction: avoids
+    # materializing a full [.., K] fp32 log-softmax (HBM-traffic win) and
+    # keeps the backward scatter-free.
+    x = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(x, axis=-1)
+    K = logits.shape[-1]
+    onehot = (safe[..., None]
+              == jax.lax.broadcasted_iota(jnp.int32, (1,) * label.ndim
+                                          + (K,), label.ndim))
+    x_lab = jnp.sum(jnp.where(onehot, x, 0.0), axis=-1)
+    nll = jnp.where(valid, lse - x_lab, 0.0)
     n = jnp.maximum(valid.sum(), 1)
     return nll.sum() / n
 

@@ -1,0 +1,95 @@
+"""Fused window-attention kernel vs pure-jnp reference (the reference's
+kernel test pattern, kernels/window_process/unit_test.py: fused vs naive
+composition, forward and backward, multiple dtypes — here in Pallas
+interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtlora_tpu.ops.attention import (
+    relative_position_index,
+    shift_attention_mask,
+    window_attention,
+)
+from mtlora_tpu.ops.pallas_window_attn import fused_window_attention
+from mtlora_tpu.ops.window import (
+    shift_window_partition,
+    window_merge_unshift,
+)
+
+
+def reference_path(qkv_map, num_heads, rel_bias, ws, shift, mask):
+    B, H, W, C3 = qkv_map.shape
+    C = C3 // 3
+    qkv_w = shift_window_partition(qkv_map, ws, shift).reshape(
+        -1, ws * ws, C3)
+    out = window_attention(qkv_w, num_heads, rel_bias, mask)
+    return window_merge_unshift(out.reshape(-1, ws, ws, C), ws, shift,
+                                H, W, (B,)).reshape(B, H, W, C)
+
+
+def make_case(seed, B=2, H=16, W=16, C=48, heads=4, ws=4, shift=0,
+              dtype=jnp.float32):
+    r = np.random.RandomState(seed)
+    qkv = jnp.asarray(r.randn(B, H, W, 3 * C), dtype)
+    table = jnp.asarray(r.randn((2 * ws - 1) ** 2, heads) * 0.1,
+                        jnp.float32)
+    idx = relative_position_index(ws)
+    bias = table[idx.reshape(-1)].reshape(ws * ws, ws * ws,
+                                          heads).transpose(2, 0, 1)
+    mask = (jnp.asarray(shift_attention_mask(H, W, ws, shift))
+            if shift else None)
+    return qkv, bias, mask
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_fused_matches_reference_fwd(shift):
+    qkv, bias, mask = make_case(0, shift=shift)
+    ref = reference_path(qkv, 4, bias, 4, shift, mask)
+    out = fused_window_attention(qkv, 4, bias, 4, shift, mask,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_fused_matches_reference_grad(shift):
+    qkv, bias, mask = make_case(1, shift=shift)
+
+    def loss_ref(qkv, bias):
+        o = reference_path(qkv, 4, bias, 4, shift, mask)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_fused(qkv, bias):
+        o = fused_window_attention(qkv, 4, bias, 4, shift, mask,
+                                   interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(g_fused[0]),
+                               np.asarray(g_ref[0]), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_fused[1]),
+                               np.asarray(g_ref[1]), atol=2e-4, rtol=1e-4)
+
+
+def test_fused_bf16_close():
+    qkv, bias, mask = make_case(2, dtype=jnp.bfloat16)
+    ref = reference_path(qkv, 4, bias, 4, 0, None)
+    out = fused_window_attention(qkv, 4, bias, 4, 0, None, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)
+
+
+def test_fused_uneven_heads_channels():
+    # swin-tiny stage0 geometry: C=96, heads=3, ws=7, H=W=28
+    qkv, bias, mask = make_case(3, B=1, H=28, W=28, C=96, heads=3, ws=7,
+                                shift=3)
+    mask = jnp.asarray(shift_attention_mask(28, 28, 7, 3))
+    ref = reference_path(qkv, 3, bias, 7, 3, mask)
+    out = fused_window_attention(qkv, 3, bias, 7, 3, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
