@@ -279,6 +279,124 @@ class LoRALinear(nn.Module):
         return y + (x_drop @ A.astype(dtype)) @ B.astype(dtype) * scaling
 
 
+class MTLoRAQKV(nn.Module):
+    """Split q/k/v MTLoRA projection (reference MTLoRAQKV,
+    models/lora.py:287-325): three independent MTLoRALinear branches whose
+    outputs concatenate on the feature axis. Selected by
+    ``MODEL.MTLORA.SPLIT_QKV``; checkpoint keys ``attn.qkv.{q,k,v}.*``
+    (utils.py:653-660 chunks fused qkv weights into thirds).
+
+    Unlike the reference — which recomputes each branch three times
+    (models/lora.py:323-325, flagged in SURVEY.md section 7.4) — each
+    branch runs once.
+    """
+    in_features: int
+    out_features: int
+    spec: LoRASpec = LoRASpec()
+    has_tasks: bool = False
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, x_tasks=None, *, deterministic: bool = True):
+        outs, task_outs = [], []
+        for name in ("q", "k", "v"):
+            y, t = MTLoRALinear(
+                self.in_features, self.out_features, spec=self.spec,
+                has_tasks=self.has_tasks, use_bias=self.use_bias,
+                dtype=self.dtype, name=name)(
+                x, x_tasks, deterministic=deterministic)
+            outs.append(y)
+            task_outs.append(t)
+        y = jnp.concatenate(outs, axis=-1)
+        if task_outs[0] is None:
+            return y, None
+        return y, jnp.concatenate(task_outs, axis=-1)
+
+
+class LoRAQKVLinear(nn.Module):
+    """Fused qkv linear with selectively-enabled LoRA per q/k/v group
+    (reference LoRAQKVLinear, models/lora.py:328-577, including grouped
+    application and zero-padding of disabled groups; the conv1d grouping
+    trick becomes a blocked matmul). Supports MQA/GQA-style kv sizing via
+    ``n_query_groups``.
+    """
+    in_features: int
+    out_features: int
+    n_head: int
+    n_query_groups: int
+    r: int = 0
+    lora_alpha: float = 1.0
+    lora_dropout: float = 0.0
+    enable_lora: Tuple[bool, bool, bool] = (False, False, False)
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        param_dtype = jnp.float32
+        kernel = self.param(
+            "kernel", nn.initializers.truncated_normal(0.02, lower=-2, upper=2),
+            (self.in_features, self.out_features), param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_features,), param_dtype)
+                if self.use_bias else None)
+        dtype = self.dtype or x.dtype
+        xc = x.astype(dtype)
+        y = xc @ kernel.astype(dtype)
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        enable = tuple(bool(e) for e in self.enable_lora)
+        if self.r == 0 or not any(enable):
+            return y
+
+        kv_embd = self.in_features // (self.n_head // self.n_query_groups)
+        group_sizes = (self.in_features * enable[0],
+                       kv_embd * enable[1], kv_embd * enable[2])
+        active = [s for s in group_sizes if s]
+        n_active = sum(enable)
+        # A stacked per active group: [n_active*r, in]; B: [sum(active), r]
+        A = self.param("lora_A", _kaiming_uniform_rows,
+                       (self.in_features, n_active * self.r), param_dtype)
+        B = self.param("lora_B", nn.initializers.zeros,
+                       (self.r, sum(active)), param_dtype)
+        x_drop = xc
+        if self.lora_dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.lora_dropout,
+                                        xc.shape)
+            x_drop = jnp.where(keep, xc / (1.0 - self.lora_dropout), 0.0)
+        after_A = x_drop @ A.astype(dtype)  # [..., n_active*r]
+        # grouped B application: group g consumes its own r slice of A's
+        # output (the reference's grouped conv1d, models/lora.py:482-519)
+        pieces = []
+        b_off = 0
+        for g in range(n_active):
+            Bg = B[:, b_off:b_off + active[g]].astype(dtype)
+            Ag_out = after_A[..., g * self.r:(g + 1) * self.r]
+            pieces.append(Ag_out @ Bg)
+            b_off += active[g]
+        delta = jnp.concatenate(pieces, axis=-1)
+        # zero_pad (models/lora.py:437-480): route active-group updates to
+        # their q/k/v output positions, zeros elsewhere
+        scaling = self.lora_alpha / self.r
+        if all(enable):
+            return y + delta * scaling
+        q_end = self.in_features
+        k_end = q_end + kv_embd
+        segs = []
+        off = 0
+        bounds = ((0, q_end), (q_end, k_end), (k_end, self.out_features))
+        for e, (lo, hi) in zip(enable, bounds):
+            width = hi - lo
+            if e:
+                segs.append(delta[..., off:off + width])
+                off += width
+            else:
+                segs.append(jnp.zeros(delta.shape[:-1] + (width,), dtype))
+        return y + jnp.concatenate(segs, axis=-1) * scaling
+
+
 def merge_lora_weights(params):
     """Fold LoRA updates into the frozen kernels for fast inference.
 

@@ -311,8 +311,7 @@ class BasicLayer(nn.Module):
         Block = SwinBlock
         if self.use_remat:
             # argnums: (self, x, deterministic) -> deterministic is static
-            Block = nn.remat(SwinBlock, static_argnums=(2,),
-                             prevent_cse=False)
+            Block = nn.remat(SwinBlock, static_argnums=(2,))
         for i in range(self.depth):
             blk = Block(
                 dim=self.dim, input_resolution=self.input_resolution,

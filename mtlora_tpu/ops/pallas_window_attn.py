@@ -50,25 +50,37 @@ def _windows_band(win, ws: int, c: int):
     return x.reshape(ws, nw * ws, c)
 
 
+# NOTE: Mosaic's tpu.matmul supports at most ONE batch dimension, so all
+# dot_generals below fold (nW, nH) into a single leading batch axis.
+
+
 def _attn_core(qkv_band, bias, mask, *, num_heads, ws, scale):
-    """Shared fwd math on one row band (runs inside the kernel)."""
+    """Shared fwd math on one row band (runs inside the kernel).
+
+    Returns p [nW*nH, N, N] fp32, v [nW*nH, N, hd]."""
     C3 = qkv_band.shape[-1]
     C = C3 // 3
     hd = C // num_heads
     N = ws * ws
     x = _band_windows(qkv_band, ws, C3)  # [nW, N, 3C]
     nw = x.shape[0]
-    q = x[:, :, :C].reshape(nw, N, num_heads, hd)
-    k = x[:, :, C:2 * C].reshape(nw, N, num_heads, hd)
-    v = x[:, :, 2 * C:].reshape(nw, N, num_heads, hd)
+
+    def heads(t):  # [nW, N, C] -> [nW*nH, N, hd]
+        return t.reshape(nw, N, num_heads, hd).transpose(
+            0, 2, 1, 3).reshape(nw * num_heads, N, hd)
+
+    q = heads(x[:, :, :C])
+    k = heads(x[:, :, C:2 * C])
+    v = heads(x[:, :, 2 * C:])
     s = jax.lax.dot_general(
-        (q * scale).transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32)  # [nW, nH, N, N]
+        q * scale, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [nW*nH, N, N]
+    s = s.reshape(nw, num_heads, N, N)
     s = s + bias[None].astype(jnp.float32)
     if mask is not None:
         s = s + mask[:, None].astype(jnp.float32)
-    p = jax.nn.softmax(s, axis=-1)
+    p = jax.nn.softmax(s, axis=-1).reshape(nw * num_heads, N, N)
     return p, v
 
 
@@ -82,11 +94,12 @@ def _fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, num_heads, ws,
     p, v = _attn_core(band, bias_ref[...], mask,
                       num_heads=num_heads, ws=ws, scale=scale)
     o = jax.lax.dot_general(
-        p.astype(v.dtype), v.transpose(0, 2, 1, 3),
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-    )  # [nW, nH, N, hd]
-    nw = o.shape[0]
-    o = o.transpose(0, 2, 1, 3).reshape(nw, N, C)
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+    )  # [nW*nH, N, hd]
+    nw = o.shape[0] // num_heads
+    o = o.reshape(nw, num_heads, N, hd).transpose(0, 2, 1, 3)
+    o = o.reshape(nw, N, C)
     o_ref[0] = _windows_band(o, ws, C).astype(o_ref.dtype)
 
 
@@ -99,34 +112,37 @@ def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref,
     mask = mask_ref[0] if has_mask else None
     p, v = _attn_core(band, bias_ref[...], mask,
                       num_heads=num_heads, ws=ws, scale=scale)
-    v = v.transpose(0, 2, 1, 3)  # -> [nW, nH, N, hd]
     x = _band_windows(band, ws, 3 * C)
     nw = x.shape[0]
-    q = x[:, :, :C].reshape(nw, N, num_heads, hd).transpose(0, 2, 1, 3)
-    k = x[:, :, C:2 * C].reshape(nw, N, num_heads, hd).transpose(0, 2, 1, 3)
 
-    do = _band_windows(do_ref[0], ws, C)  # [nW, N, C]
-    do = do.reshape(nw, N, num_heads, hd).transpose(0, 2, 1, 3)
-    do32 = do.astype(jnp.float32)
+    def heads(t):  # [nW, N, C] -> [nW*nH, N, hd]
+        return t.reshape(nw, N, num_heads, hd).transpose(
+            0, 2, 1, 3).reshape(nw * num_heads, N, hd)
+
+    q = heads(x[:, :, :C])
+    k = heads(x[:, :, C:2 * C])
+    do32 = heads(_band_windows(do_ref[0], ws, C)).astype(jnp.float32)
     # dv = p^T @ do
     dv = jax.lax.dot_general(
-        p, do32, dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))))
+        p, do32, dimension_numbers=(((1,), (1,)), ((0,), (0,))))
     # dp = do @ v^T
     dp = jax.lax.dot_general(
         do32, v.astype(jnp.float32),
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))))  # [nW,nH,N,N]
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))))  # [nW*nH, N, N]
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dbias_ref[0, 0] = jnp.sum(ds, axis=0).astype(dbias_ref.dtype)
-    # dq = ds @ k * scale ; dk = ds^T @ q * scale
+    dbias_ref[0, 0] = jnp.sum(
+        ds.reshape(nw, num_heads, N, N), axis=0).astype(dbias_ref.dtype)
+    # dq = ds @ k * scale ; dk = ds^T @ (q*scale)
     dq = jax.lax.dot_general(
         ds, k.astype(jnp.float32),
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1)))) * scale
+        dimension_numbers=(((2,), (1,)), ((0,), (0,)))) * scale
     dk = jax.lax.dot_general(
-        ds, (q * scale).astype(jnp.float32),
-        dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))))
+        ds, q.astype(jnp.float32) * scale,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))))
 
-    def tok(t):  # [nW, nH, N, hd] -> [nW, N, C]
-        return t.transpose(0, 2, 1, 3).reshape(nw, N, C)
+    def tok(t):  # [nW*nH, N, hd] -> [nW, N, C]
+        return t.reshape(nw, num_heads, N, hd).transpose(
+            0, 2, 1, 3).reshape(nw, N, C)
 
     dqkv = jnp.concatenate([tok(dq), tok(dk), tok(dv)], axis=-1)
     dqkv_ref[0] = _windows_band(dqkv, ws, 3 * C).astype(dqkv_ref.dtype)
