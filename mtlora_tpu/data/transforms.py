@@ -28,6 +28,45 @@ import numpy as np
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
+# Optional native (C++) backend for the hot per-pixel kernels; validated
+# against cv2 in tests/test_native_ops.py. Off by default to keep exact
+# cv2 bit-parity; enable with MTLORA_NATIVE_IMAGE_OPS=1.
+_USE_NATIVE = False
+try:  # pragma: no cover - environment dependent
+    import os as _os
+
+    if _os.environ.get("MTLORA_NATIVE_IMAGE_OPS") == "1":
+        from mtlora_tpu.data.native import native as _native
+
+        _USE_NATIVE = _native.available()
+except Exception:
+    _USE_NATIVE = False
+
+_NATIVE_INTERP = {}
+if _USE_NATIVE:
+    _NATIVE_INTERP = {cv2.INTER_NEAREST: 0, cv2.INTER_LINEAR: 1,
+                      cv2.INTER_CUBIC: 2}
+
+
+def _cv_resize(img, dsize, flagval):
+    if _USE_NATIVE and flagval in _NATIVE_INTERP:
+        return _native.resize(np.asarray(img, np.float32), dsize,
+                              _NATIVE_INTERP[flagval])
+    return cv2.resize(img, dsize, interpolation=flagval)
+
+
+def _cv_warp_affine(img, m, dsize, flagval):
+    if _USE_NATIVE and flagval in _NATIVE_INTERP:
+        return _native.warp_affine(np.asarray(img, np.float32), m, dsize,
+                                   _NATIVE_INTERP[flagval])
+    return cv2.warpAffine(img, m, dsize, flags=flagval)
+
+
+def _cv_hflip(img):
+    if _USE_NATIVE:
+        return _native.hflip(np.asarray(img, np.float32))
+    return cv2.flip(img, flipCode=1)
+
 
 def fixed_resize(sample: np.ndarray, resolution, flagval=None) -> np.ndarray:
     """Aspect-aware resize (reference data/helpers.py:60-85)."""
@@ -42,11 +81,11 @@ def fixed_resize(sample: np.ndarray, resolution, flagval=None) -> np.ndarray:
             * np.max(sample.shape[:2])))
         resolution = tuple(tmp)
     if sample.ndim == 2 or (sample.ndim == 3 and sample.shape[2] == 3):
-        return cv2.resize(sample, resolution[::-1], interpolation=flagval)
+        return _cv_resize(sample, resolution[::-1], flagval)
     out = np.zeros(np.append(resolution, sample.shape[2]), dtype=float)
     for ii in range(sample.shape[2]):
-        out[:, :, ii] = cv2.resize(sample[:, :, ii], resolution[::-1],
-                                   interpolation=flagval)
+        out[:, :, ii] = _cv_resize(sample[:, :, ii], resolution[::-1],
+                                   flagval)
     return out
 
 
@@ -59,7 +98,7 @@ class RandomHorizontalFlip:
             for k in list(sample.keys()):
                 if "meta" in k:
                     continue
-                sample[k] = cv2.flip(sample[k], flipCode=1)
+                sample[k] = _cv_hflip(sample[k])
                 if k == "normals":
                     sample[k][:, :, 0] *= -1
         return sample
@@ -107,7 +146,7 @@ class ScaleNRotate:
                 rot_rad = rot * 2 * math.pi / 360
                 tmp[:, :, 0] = np.sin(in_plane + rot_rad) * nrm0
                 tmp[:, :, 1] = np.cos(in_plane + rot_rad) * nrm0
-            tmp = cv2.warpAffine(tmp, M, (w, h), flags=flagval)
+            tmp = _cv_warp_affine(tmp, M, (w, h), flagval)
             if k == "depth":
                 tmp = tmp / sc
             sample[k] = tmp
