@@ -425,6 +425,11 @@ def update_config(config: ConfigNode, args):
         config.DATA.PASCAL = args.pascal
         config.DATA.DATA_PATH = args.pascal
         db_name = "PASCALContext"
+    elif has("tasks") and any(t in args.tasks
+                              for t in ("sal", "human_parts")):
+        # synthetic-data runs without a dataset path: infer the database
+        # from PASCAL-only tasks
+        db_name = "PASCALContext"
     config.DATA.DBNAME = db_name
 
     if has("tasks"):

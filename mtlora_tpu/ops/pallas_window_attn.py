@@ -1,24 +1,26 @@
-"""Fused shifted-window attention Pallas kernel.
+"""Fused window attention Pallas kernel.
 
 TPU-native successor of the reference's fused CUDA window-process kernel
-(kernels/window_process/swin_window_process_kernel.cu) — but fusing much
-more: one kernel performs window partition + scaled QK^T + relative
-position bias + shift mask + softmax + AV + window merge entirely in
-VMEM, for a row-band of windows per grid cell. The windowed copies of
-qkv, the [nW*B, nH, 49, 49] score tensor, and the windowed attention
-output never touch HBM — the op reads the token-layout qkv map once and
-writes the token-layout output once. Since the Swin workload is
-HBM-bandwidth bound (measured; SURVEY.md section 6 rebuild protocol),
-this is the speed-of-light formulation: window size 49 makes whole
-windows VMEM-resident, so no online-softmax tiling is needed.
+(kernels/window_process/swin_window_process_kernel.cu), fusing the whole
+attention core: scaled QK^T + relative position bias + shift mask +
+softmax + AV run entirely in VMEM for all windows of one image per grid
+cell. The [B*nW, nH, 49, 49] score/softmax tensors never touch HBM in
+the forward pass, and the backward kernel recomputes them in VMEM from
+the windowed qkv input instead of storing fp32 softmax residuals — the
+dominant HBM-traffic term of the attention block (the Swin workload is
+measured HBM-bandwidth bound).
 
-The backward pass is a second Pallas kernel over the same grid that
-recomputes the (tiny) per-window softmax in VMEM from the saved qkv
-input and emits dqkv plus per-band bias-gradient partials.
+Mosaic constraints shape the design:
+  - at most ONE batch dimension per tpu.matmul -> dots batch over the
+    window axis only; heads are extracted by LANE SLICING in a static
+    unrolled loop (never by reshaping the lane dim);
+  - no sublane/lane reshapes inside the kernel -> the window partition /
+    merge layout transforms stay outside as XLA copies (they are cheap
+    relative to the score tensors), and the kernel consumes the windowed
+    [B*nW, N, 3C] layout directly.
 
-The cyclic shift itself stays outside as jnp.roll (one fused XLA copy;
-its traffic is already minimal) — the kernel consumes the pre-rolled
-map, mirroring WindowProcess.apply's contract (.cu:42-67).
+The cyclic shift stays outside as jnp.roll, mirroring
+WindowProcess.apply's contract (.cu:42-67).
 """
 
 from __future__ import annotations
@@ -32,223 +34,183 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mtlora_tpu.ops.window import (
+    shift_window_partition,
+    window_merge_unshift,
+)
 
-def _band_windows(band, ws: int, c: int):
-    """[ws, W, c] row band -> [nW, ws*ws, c] windows."""
-    W = band.shape[1]
-    nw = W // ws
-    x = band.reshape(ws, nw, ws, c)
-    x = x.transpose(1, 0, 2, 3)
-    return x.reshape(nw, ws * ws, c)
-
-
-def _windows_band(win, ws: int, c: int):
-    """[nW, ws*ws, c] windows -> [ws, W, c] row band."""
-    nw = win.shape[0]
-    x = win.reshape(nw, ws, ws, c)
-    x = x.transpose(1, 0, 2, 3)
-    return x.reshape(ws, nw * ws, c)
+# dot_general dimension numbers (single window-batch dim):
+_DN_QK = (((2,), (2,)), ((0,), (0,)))   # q[.,N,hd] x k[.,N,hd] -> [.,N,N]
+_DN_PV = (((2,), (1,)), ((0,), (0,)))   # p[.,N,N] x v[.,N,hd] -> [.,N,hd]
+_DN_T1 = (((1,), (1,)), ((0,), (0,)))   # contract over first N axis
 
 
-# NOTE: Mosaic's tpu.matmul supports at most ONE batch dimension, so all
-# dot_generals below fold (nW, nH) into a single leading batch axis.
-
-
-def _attn_core(qkv_band, bias, mask, *, num_heads, ws, scale):
-    """Shared fwd math on one row band (runs inside the kernel).
-
-    Returns p [nW*nH, N, N] fp32, v [nW*nH, N, hd]."""
-    C3 = qkv_band.shape[-1]
-    C = C3 // 3
-    hd = C // num_heads
-    N = ws * ws
-    x = _band_windows(qkv_band, ws, C3)  # [nW, N, 3C]
-    nw = x.shape[0]
-
-    def heads(t):  # [nW, N, C] -> [nW*nH, N, hd]
-        return t.reshape(nw, N, num_heads, hd).transpose(
-            0, 2, 1, 3).reshape(nw * num_heads, N, hd)
-
-    q = heads(x[:, :, :C])
-    k = heads(x[:, :, C:2 * C])
-    v = heads(x[:, :, 2 * C:])
-    s = jax.lax.dot_general(
-        q * scale, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # [nW*nH, N, N]
-    s = s.reshape(nw, num_heads, N, N)
-    s = s + bias[None].astype(jnp.float32)
+def _head_softmax(x, bias, mask, h, *, C, hd, scale):
+    """Per-head scores+softmax for windows x [nW, N, 3C] (fp32 out)."""
+    q = x[:, :, h * hd:(h + 1) * hd]
+    k = x[:, :, C + h * hd:C + (h + 1) * hd]
+    s = jax.lax.dot_general(q * scale, k, dimension_numbers=_DN_QK,
+                            preferred_element_type=jnp.float32)
+    s = s + bias[h][None].astype(jnp.float32)
     if mask is not None:
-        s = s + mask[:, None].astype(jnp.float32)
-    p = jax.nn.softmax(s, axis=-1).reshape(nw * num_heads, N, N)
-    return p, v
+        s = s + mask.astype(jnp.float32)
+    return jax.nn.softmax(s, axis=-1)
 
 
-def _fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, num_heads, ws,
+def _fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, num_heads,
                 scale, has_mask):
-    band = qkv_ref[0]
-    C = band.shape[-1] // 3
+    x = qkv_ref[...]  # [nW, N, 3C]
+    C = x.shape[-1] // 3
     hd = C // num_heads
-    N = ws * ws
     mask = mask_ref[0] if has_mask else None
-    p, v = _attn_core(band, bias_ref[...], mask,
-                      num_heads=num_heads, ws=ws, scale=scale)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-    )  # [nW*nH, N, hd]
-    nw = o.shape[0] // num_heads
-    o = o.reshape(nw, num_heads, N, hd).transpose(0, 2, 1, 3)
-    o = o.reshape(nw, N, C)
-    o_ref[0] = _windows_band(o, ws, C).astype(o_ref.dtype)
+    outs = []
+    for h in range(num_heads):
+        p = _head_softmax(x, bias_ref[...], mask, h, C=C, hd=hd,
+                          scale=scale)
+        v = x[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        outs.append(jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=_DN_PV,
+            preferred_element_type=jnp.float32))
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref,
-                dqkv_ref, dbias_ref, *, num_heads, ws, scale, has_mask):
-    band = qkv_ref[0]
-    C = band.shape[-1] // 3
+                dqkv_ref, dbias_ref, *, num_heads, scale, has_mask):
+    x = qkv_ref[...]
+    C = x.shape[-1] // 3
     hd = C // num_heads
-    N = ws * ws
     mask = mask_ref[0] if has_mask else None
-    p, v = _attn_core(band, bias_ref[...], mask,
-                      num_heads=num_heads, ws=ws, scale=scale)
-    x = _band_windows(band, ws, 3 * C)
-    nw = x.shape[0]
-
-    def heads(t):  # [nW, N, C] -> [nW*nH, N, hd]
-        return t.reshape(nw, N, num_heads, hd).transpose(
-            0, 2, 1, 3).reshape(nw * num_heads, N, hd)
-
-    q = heads(x[:, :, :C])
-    k = heads(x[:, :, C:2 * C])
-    do32 = heads(_band_windows(do_ref[0], ws, C)).astype(jnp.float32)
-    # dv = p^T @ do
-    dv = jax.lax.dot_general(
-        p, do32, dimension_numbers=(((1,), (1,)), ((0,), (0,))))
-    # dp = do @ v^T
-    dp = jax.lax.dot_general(
-        do32, v.astype(jnp.float32),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))))  # [nW*nH, N, N]
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dbias_ref[0, 0] = jnp.sum(
-        ds.reshape(nw, num_heads, N, N), axis=0).astype(dbias_ref.dtype)
-    # dq = ds @ k * scale ; dk = ds^T @ (q*scale)
-    dq = jax.lax.dot_general(
-        ds, k.astype(jnp.float32),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,)))) * scale
-    dk = jax.lax.dot_general(
-        ds, q.astype(jnp.float32) * scale,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))))
-
-    def tok(t):  # [nW*nH, N, hd] -> [nW, N, C]
-        return t.reshape(nw, num_heads, N, hd).transpose(
-            0, 2, 1, 3).reshape(nw, N, C)
-
-    dqkv = jnp.concatenate([tok(dq), tok(dk), tok(dv)], axis=-1)
-    dqkv_ref[0] = _windows_band(dqkv, ws, 3 * C).astype(dqkv_ref.dtype)
+    do_w = do_ref[...]  # [nW, N, C]
+    dqs, dks, dvs, dbs = [], [], [], []
+    for h in range(num_heads):
+        p = _head_softmax(x, bias_ref[...], mask, h, C=C, hd=hd,
+                          scale=scale)
+        q = x[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+        k = x[:, :, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+        v = x[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd].astype(
+            jnp.float32)
+        do_h = do_w[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+        dvs.append(jax.lax.dot_general(
+            p, do_h, dimension_numbers=_DN_T1,
+            preferred_element_type=jnp.float32))
+        dp = jax.lax.dot_general(
+            do_h, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [nW, N, N]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbs.append(jnp.sum(ds, axis=0))
+        dqs.append(jax.lax.dot_general(
+            ds, k, dimension_numbers=_DN_PV,
+            preferred_element_type=jnp.float32) * scale)
+        dks.append(jax.lax.dot_general(
+            ds, q * scale, dimension_numbers=_DN_T1,
+            preferred_element_type=jnp.float32))
+    dbias_ref[0] = jnp.stack(dbs).astype(dbias_ref.dtype)
+    dqkv_ref[...] = jnp.concatenate(
+        dqs + dks + dvs, axis=-1).astype(dqkv_ref.dtype)
 
 
-def _run_fwd(qkv_map, bias, mask, num_heads, ws, scale, interpret):
-    B, H, W, C3 = qkv_map.shape
-    C = C3 // 3
-    has_mask = mask is not None
-    nbh = H // ws
-    args = [qkv_map, bias]
+def _specs(G, N, C3, n_groups, has_mask):
     in_specs = [
-        pl.BlockSpec((1, ws, W, C3), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((G, N, C3), lambda b, g: (b * n_groups + g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (full, replicated)
     ]
     if has_mask:
-        nww = W // ws
-        N = ws * ws
-        mask_r = mask.reshape(nbh, nww, N, N)
-        args.append(mask_r)
+        # per-group mask slice [1, G, N, N]
         in_specs.append(pl.BlockSpec(
-            (1, nww, N, N), lambda b, i: (i, 0, 0, 0),
+            (1, G, N, N), lambda b, g: (g, 0, 0, 0),
             memory_space=pltpu.VMEM))
     else:
-        args.append(jnp.zeros((1, 1), qkv_map.dtype))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    kernel = functools.partial(_fwd_kernel, num_heads=num_heads, ws=ws,
+    return in_specs
+
+
+def _group_size(nw: int, cap: int) -> int:
+    """Windows per grid cell: bounded for VMEM (qkv block + fp32
+    score intermediates with double buffering), always divides nw."""
+    g = min(nw, cap)
+    while nw % g:
+        g -= 1
+    return g
+
+
+def _run_fwd(qkv_w, bias, mask, num_heads, nw, scale, interpret):
+    Btot, N, C3 = qkv_w.shape
+    C = C3 // 3
+    G = _group_size(nw, 32)
+    n_groups = nw // G
+    has_mask = mask is not None
+    mask_arg = (mask.reshape(n_groups, G, N, N) if has_mask
+                else jnp.zeros((1, 1), qkv_w.dtype))
+    kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
                                scale=scale, has_mask=has_mask)
     return pl.pallas_call(
         kernel,
-        grid=(B, nbh),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ws, W, C), lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), qkv_map.dtype),
+        grid=(Btot // nw, n_groups),
+        in_specs=_specs(G, N, C3, n_groups, has_mask),
+        out_specs=pl.BlockSpec(
+            (G, N, C), lambda b, g: (b * n_groups + g, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Btot, N, C), qkv_w.dtype),
         interpret=interpret,
-    )(*args)
+    )(qkv_w, bias, mask_arg)
 
 
-def _run_bwd(qkv_map, bias, mask, do, num_heads, ws, scale, interpret):
-    B, H, W, C3 = qkv_map.shape
+def _run_bwd(qkv_w, bias, mask, do, num_heads, nw, scale, interpret):
+    Btot, N, C3 = qkv_w.shape
     C = C3 // 3
-    N = ws * ws
+    G = _group_size(nw, 8)
+    n_groups = nw // G
+    n_cells = Btot // G
     has_mask = mask is not None
-    nbh = H // ws
-    args = [qkv_map, bias]
-    in_specs = [
-        pl.BlockSpec((1, ws, W, C3), lambda b, i: (b, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-    ]
-    if has_mask:
-        nww = W // ws
-        mask_r = mask.reshape(nbh, nww, N, N)
-        args.append(mask_r)
-        in_specs.append(pl.BlockSpec(
-            (1, nww, N, N), lambda b, i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM))
-    else:
-        args.append(jnp.zeros((1, 1), qkv_map.dtype))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    args.append(do)
-    in_specs.append(pl.BlockSpec((1, ws, W, C), lambda b, i: (b, i, 0, 0),
-                                 memory_space=pltpu.VMEM))
-    kernel = functools.partial(_bwd_kernel, num_heads=num_heads, ws=ws,
+    mask_arg = (mask.reshape(n_groups, G, N, N) if has_mask
+                else jnp.zeros((1, 1), qkv_w.dtype))
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
                                scale=scale, has_mask=has_mask)
+    in_specs = _specs(G, N, C3, n_groups, has_mask)
+    in_specs.append(pl.BlockSpec(
+        (G, N, C), lambda b, g: (b * n_groups + g, 0, 0),
+        memory_space=pltpu.VMEM))
     dqkv, dbias = pl.pallas_call(
         kernel,
-        grid=(B, nbh),
+        grid=(Btot // nw, n_groups),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, ws, W, C3), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((G, N, C3),
+                         lambda b, g: (b * n_groups + g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, num_heads, N, N),
-                         lambda b, i: (b, i, 0, 0, 0),
+            pl.BlockSpec((1, num_heads, N, N),
+                         lambda b, g: (b * n_groups + g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, W, C3), qkv_map.dtype),
-            jax.ShapeDtypeStruct((B, nbh, num_heads, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((Btot, N, C3), qkv_w.dtype),
+            jax.ShapeDtypeStruct((n_cells, num_heads, N, N),
+                                 jnp.float32),
         ),
         interpret=interpret,
-    )(*args)
-    return dqkv, dbias.sum(axis=(0, 1))
+    )(qkv_w, bias, mask_arg, do)
+    return dqkv, dbias.sum(axis=0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _fused_window_attention(qkv_map, bias, mask, num_heads, ws, scale,
-                            interpret):
-    return _run_fwd(qkv_map, bias, mask, num_heads, ws, scale, interpret)
+def _fused_windows(qkv_w, bias, mask, num_heads, nw, scale, interpret):
+    return _run_fwd(qkv_w, bias, mask, num_heads, nw, scale, interpret)
 
 
-def _fwd_rule(qkv_map, bias, mask, num_heads, ws, scale, interpret):
-    out = _run_fwd(qkv_map, bias, mask, num_heads, ws, scale, interpret)
-    return out, (qkv_map, bias, mask)
+def _fwd_rule(qkv_w, bias, mask, num_heads, nw, scale, interpret):
+    out = _run_fwd(qkv_w, bias, mask, num_heads, nw, scale, interpret)
+    return out, (qkv_w, bias, mask)
 
 
-def _bwd_rule(num_heads, ws, scale, interpret, res, do):
-    qkv_map, bias, mask = res
-    dqkv, dbias = _run_bwd(qkv_map, bias, mask, do, num_heads, ws, scale,
+def _bwd_rule(num_heads, nw, scale, interpret, res, do):
+    qkv_w, bias, mask = res
+    dqkv, dbias = _run_bwd(qkv_w, bias, mask, do, num_heads, nw, scale,
                            interpret)
     return dqkv, dbias.astype(bias.dtype), None
 
 
-_fused_window_attention.defvjp(_fwd_rule, _bwd_rule)
+_fused_windows.defvjp(_fwd_rule, _bwd_rule)
 
 
 def fused_window_attention(
@@ -270,13 +232,15 @@ def fused_window_attention(
       shift_mask: [nW, N, N] additive mask (required when shift > 0).
     Returns: [B, H, W, C] attention output in token layout.
     """
-    C = qkv_map.shape[-1] // 3
+    B, H, W, C3 = qkv_map.shape
+    C = C3 // 3
+    ws = window_size
+    nw = (H // ws) * (W // ws)
     if scale is None:
         scale = (C // num_heads) ** -0.5
-    if shift:
-        qkv_map = jnp.roll(qkv_map, (-shift, -shift), (1, 2))
-    out = _fused_window_attention(qkv_map, rel_bias, shift_mask,
-                                  num_heads, window_size, scale, interpret)
-    if shift:
-        out = jnp.roll(out, (shift, shift), (1, 2))
-    return out
+    qkv_w = shift_window_partition(qkv_map, ws, shift).reshape(
+        B * nw, ws * ws, C3)
+    out = _fused_windows(qkv_w, rel_bias, shift_mask, num_heads, nw,
+                         scale, interpret)
+    return window_merge_unshift(
+        out.reshape(-1, ws, ws, C), ws, shift, H, W, (B,))
