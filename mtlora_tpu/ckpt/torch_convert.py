@@ -291,6 +291,22 @@ def _convert_decoder_key(k, val, params, batch_stats):
     return True
 
 
+def remap_22k_to_1k_head(kernel: np.ndarray, bias: np.ndarray,
+                         map_file: str):
+    """Select the 1K-class rows of a 22K classification head using a
+    map file of 1000 class indices, one per line (-1 -> zero row) —
+    reference utils.py:250-269 + data/map22kto1k.txt."""
+    with open(map_file) as f:
+        idx = [int(line.strip()) for line in f if line.strip()]
+    out_k = np.zeros((kernel.shape[0], len(idx)), kernel.dtype)
+    out_b = np.zeros((len(idx),), bias.dtype)
+    for j, i in enumerate(idx):
+        if i >= 0:
+            out_k[:, j] = kernel[:, i]
+            out_b[j] = bias[i]
+    return out_k, out_b
+
+
 def merge_converted(variables, converted, *, strict: bool = False,
                     verbose: bool = True):
     """Overlay converted torch weights onto freshly-initialized variables.

@@ -21,6 +21,24 @@ from PIL import Image
 from mtlora_tpu.evaluation.meters import get_output, get_single_task_meter
 
 
+def pascal_color_map(N: int = 256, normalized: bool = False) -> np.ndarray:
+    """PASCAL VOC class color palette (reference data/helpers.py:33-57)."""
+    def bitget(v, i):
+        return (v >> i) & 1
+
+    cmap = np.zeros((N, 3), dtype=np.float32 if normalized else np.uint8)
+    for i in range(N):
+        r = g = b = 0
+        c = i
+        for j in range(8):
+            r |= bitget(c, 0) << (7 - j)
+            g |= bitget(c, 1) << (7 - j)
+            b |= bitget(c, 2) << (7 - j)
+            c >>= 3
+        cmap[i] = (r, g, b)
+    return cmap / 255.0 if normalized else cmap
+
+
 def _norm255(arr: np.ndarray) -> np.ndarray:
     lo, hi = float(arr.min()), float(arr.max())
     return (arr - lo) * 255.0 / max(hi - lo, 1e-10)
