@@ -60,6 +60,11 @@ class MTLoRASpec:
     downsampler_enabled: bool = False
     intermediate_specialization: bool = False
     split_qkv: bool = False
+    # FREEZE_PRETRAINED: stop_gradient on the frozen qkv/proj/fc kernels
+    # so XLA never builds their dW = x^T dy GEMMs (the optimizer mask
+    # would zero those grads anyway — reference main.py:254-262)
+    freeze_pretrained: bool = True
+    freeze_reduction: bool = False
 
     @property
     def num_tasks(self) -> int:
@@ -86,6 +91,8 @@ class MTLoRASpec:
                 trainable_scale_per_task=bool(m.TRAINABLE_SCALE_PER_TASK),
                 shared_mode=str(m.SHARED_MODE),
             ))
+        freeze_red = (True if m.DOWNSAMPLER_ENABLED
+                      else bool(config.TRAIN.FREEZE_DOWNSAMPLE_REDUCTION))
         return MTLoRASpec(
             enabled=True,
             tasks=tasks,
@@ -97,6 +104,8 @@ class MTLoRASpec:
             downsampler_enabled=bool(m.DOWNSAMPLER_ENABLED),
             intermediate_specialization=bool(m.INTERMEDIATE_SPECIALIZATION),
             split_qkv=bool(m.SPLIT_QKV),
+            freeze_pretrained=bool(m.FREEZE_PRETRAINED),
+            freeze_reduction=freeze_red,
         )
 
 
@@ -127,6 +136,7 @@ class MTLoRALinear(nn.Module):
     spec: LoRASpec = LoRASpec()
     has_tasks: bool = False         # whether per-task branches exist
     use_bias: bool = True
+    freeze_pretrained: bool = False  # stop_gradient on kernel/bias
     dtype: Optional[jnp.dtype] = None   # compute dtype (None = param dtype)
 
     @property
@@ -155,6 +165,11 @@ class MTLoRALinear(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.out_features,), param_dtype)
                 if self.use_bias else None)
+        if self.freeze_pretrained:
+            # frozen weights: cut the grad edge so backward never builds
+            # dW = x^T dy / db (the optimizer masks them to zero anyway)
+            kernel = jax.lax.stop_gradient(kernel)
+            bias = jax.lax.stop_gradient(bias) if bias is not None else None
 
         dtype = self.dtype or x.dtype
         xc = x.astype(dtype)

@@ -70,15 +70,18 @@ class Mlp(nn.Module):
     fc1_tasks: bool
     fc2_tasks: bool
     drop: float = 0.0
+    freeze_pretrained: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, x_tasks=None, *, deterministic: bool = True):
         fc1 = MTLoRALinear(self.in_features, self.hidden_features,
                            spec=self.spec, has_tasks=self.fc1_tasks,
+                           freeze_pretrained=self.freeze_pretrained,
                            dtype=self.dtype, name="fc1")
         fc2 = MTLoRALinear(self.hidden_features, self.in_features,
                            spec=self.spec, has_tasks=self.fc2_tasks,
+                           freeze_pretrained=self.freeze_pretrained,
                            dtype=self.dtype, name="fc2")
         drop = nn.Dropout(self.drop, deterministic=deterministic)
 
@@ -117,6 +120,7 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_pallas: bool = False
+    freeze_pretrained: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -138,11 +142,14 @@ class WindowAttention(nn.Module):
             self.dim, self.dim * 3,
             spec=self.spec if self.qkv_lora else _NO_LORA,
             has_tasks=False, use_bias=self.qkv_bias,
+            freeze_pretrained=self.freeze_pretrained,
             dtype=self.dtype, name="qkv")
         proj = MTLoRALinear(
             self.dim, self.dim,
             spec=self.spec if self.proj_lora else _NO_LORA,
-            has_tasks=self.proj_tasks, dtype=self.dtype, name="proj")
+            has_tasks=self.proj_tasks,
+            freeze_pretrained=self.freeze_pretrained,
+            dtype=self.dtype, name="proj")
 
         qkv_out, _ = qkv(x, deterministic=deterministic)  # [B, L, 3C]
         attn_dropping = self.attn_drop > 0 and not deterministic
@@ -222,7 +229,9 @@ class SwinBlock(nn.Module):
             proj_tasks=proj_tasks,
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop,
-            use_pallas=self.use_pallas, dtype=self.dtype, name="attn")
+            use_pallas=self.use_pallas,
+            freeze_pretrained=m.enabled and m.freeze_pretrained,
+            dtype=self.dtype, name="attn")
         aw, aw_tasks = attn(x, (H, W), shift, mask,
                             deterministic=deterministic)
 
@@ -240,7 +249,9 @@ class SwinBlock(nn.Module):
         norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         mlp = Mlp(in_features=C, hidden_features=int(C * self.mlp_ratio),
                   spec=self.spec, fc1_tasks=fc1_tasks, fc2_tasks=fc2_tasks,
-                  drop=self.drop, dtype=self.dtype, name="mlp")
+                  drop=self.drop,
+                  freeze_pretrained=m.enabled and m.freeze_pretrained,
+                  dtype=self.dtype, name="mlp")
         mlp_out, mlp_tasks = mlp(
             norm2(x), norm2(attn_tasks) if attn_tasks is not None else None,
             deterministic=deterministic)
@@ -264,6 +275,7 @@ class PatchMerging(nn.Module):
     input_resolution: Tuple[int, int]
     dim: int
     spec: LoRASpec          # _NO_LORA unless DOWNSAMPLER_ENABLED
+    freeze_pretrained: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -280,7 +292,9 @@ class PatchMerging(nn.Module):
         x = x.reshape(*lead, (H // 2) * (W // 2), 4 * C)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x, _ = MTLoRALinear(4 * C, 2 * C, spec=self.spec, has_tasks=False,
-                            use_bias=False, dtype=self.dtype,
+                            use_bias=False,
+                            freeze_pretrained=self.freeze_pretrained,
+                            dtype=self.dtype,
                             name="reduction")(x, deterministic=deterministic)
         return x
 
@@ -335,6 +349,9 @@ class BasicLayer(nn.Module):
                 spec=(self.spec if (self.mtlora.enabled
                                     and self.mtlora.downsampler_enabled)
                       else _NO_LORA),
+                freeze_pretrained=(self.mtlora.enabled
+                                   and self.mtlora.freeze_pretrained
+                                   and self.mtlora.freeze_reduction),
                 dtype=self.dtype, name="downsample")
             if tasks is not None:
                 # one batched call over [shared + T tasks] streams

@@ -152,6 +152,8 @@ def _run_fwd(qkv_w, bias, mask, num_heads, nw, scale, interpret):
             (G, N, C), lambda b, g: (b * n_groups + g, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Btot, N, C), qkv_w.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(qkv_w, bias, mask_arg)
 
@@ -188,6 +190,8 @@ def _run_bwd(qkv_w, bias, mask, do, num_heads, nw, scale, interpret):
             jax.ShapeDtypeStruct((n_cells, num_heads, N, N),
                                  jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(qkv_w, bias, mask_arg, do)
     return dqkv, dbias.sum(axis=0)
