@@ -137,6 +137,7 @@ class MTLoRALinear(nn.Module):
     has_tasks: bool = False         # whether per-task branches exist
     use_bias: bool = True
     freeze_pretrained: bool = False  # stop_gradient on kernel/bias
+    use_pallas: bool = False         # fused LoRA-GEMM kernel (TPU)
     dtype: Optional[jnp.dtype] = None   # compute dtype (None = param dtype)
 
     @property
@@ -188,7 +189,8 @@ class MTLoRALinear(nn.Module):
         # dropout on the SHARED input only (reference models/lora.py:258:
         # x is dropped before both branches, but x_tasks entries are not).
         x_drop = xc
-        if spec.dropout > 0.0 and not deterministic:
+        dropping = spec.dropout > 0.0 and not deterministic
+        if dropping:
             rng = self.make_rng("dropout")
             keep = jax.random.bernoulli(rng, 1.0 - spec.dropout, xc.shape)
             x_drop = jnp.where(keep, xc / (1.0 - spec.dropout), 0.0)
@@ -206,6 +208,21 @@ class MTLoRALinear(nn.Module):
                                  (1,), param_dtype).astype(dtype)
             else:
                 s_s = spec.shared_scale
+            # Fused LoRA-GEMM fast path: no task branch needed downstream
+            # (they would require `pretrained` separately), frozen W (the
+            # kernel's vjp emits no dW), static scale.
+            if (self.use_pallas and self.freeze_pretrained
+                    and not tasks_active
+                    and not spec.trainable_scale_shared):
+                from mtlora_tpu.ops.pallas_lora_matmul import lora_matmul
+
+                y = lora_matmul(xc, x_drop, kernel.astype(dtype),
+                                A_s.astype(dtype), B_s.astype(dtype),
+                                float(spec.shared_scale),
+                                not dropping)
+                if bias is not None:
+                    y = y + bias.astype(dtype)
+                return y, None
             shared_update = ((x_drop @ A_s.astype(dtype))
                              @ B_s.astype(dtype)) * s_s
 

@@ -71,6 +71,7 @@ class Mlp(nn.Module):
     fc2_tasks: bool
     drop: float = 0.0
     freeze_pretrained: bool = False
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -78,10 +79,12 @@ class Mlp(nn.Module):
         fc1 = MTLoRALinear(self.in_features, self.hidden_features,
                            spec=self.spec, has_tasks=self.fc1_tasks,
                            freeze_pretrained=self.freeze_pretrained,
+                           use_pallas=self.use_pallas,
                            dtype=self.dtype, name="fc1")
         fc2 = MTLoRALinear(self.hidden_features, self.in_features,
                            spec=self.spec, has_tasks=self.fc2_tasks,
                            freeze_pretrained=self.freeze_pretrained,
+                           use_pallas=self.use_pallas,
                            dtype=self.dtype, name="fc2")
         drop = nn.Dropout(self.drop, deterministic=deterministic)
 
@@ -143,12 +146,14 @@ class WindowAttention(nn.Module):
             spec=self.spec if self.qkv_lora else _NO_LORA,
             has_tasks=False, use_bias=self.qkv_bias,
             freeze_pretrained=self.freeze_pretrained,
+            use_pallas=self.use_pallas,
             dtype=self.dtype, name="qkv")
         proj = MTLoRALinear(
             self.dim, self.dim,
             spec=self.spec if self.proj_lora else _NO_LORA,
             has_tasks=self.proj_tasks,
             freeze_pretrained=self.freeze_pretrained,
+            use_pallas=self.use_pallas,
             dtype=self.dtype, name="proj")
 
         qkv_out, _ = qkv(x, deterministic=deterministic)  # [B, L, 3C]
@@ -251,6 +256,7 @@ class SwinBlock(nn.Module):
                   spec=self.spec, fc1_tasks=fc1_tasks, fc2_tasks=fc2_tasks,
                   drop=self.drop,
                   freeze_pretrained=m.enabled and m.freeze_pretrained,
+                  use_pallas=self.use_pallas,
                   dtype=self.dtype, name="mlp")
         mlp_out, mlp_tasks = mlp(
             norm2(x), norm2(attn_tasks) if attn_tasks is not None else None,
@@ -276,6 +282,7 @@ class PatchMerging(nn.Module):
     dim: int
     spec: LoRASpec          # _NO_LORA unless DOWNSAMPLER_ENABLED
     freeze_pretrained: bool = False
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -294,6 +301,7 @@ class PatchMerging(nn.Module):
         x, _ = MTLoRALinear(4 * C, 2 * C, spec=self.spec, has_tasks=False,
                             use_bias=False,
                             freeze_pretrained=self.freeze_pretrained,
+                            use_pallas=self.use_pallas,
                             dtype=self.dtype,
                             name="reduction")(x, deterministic=deterministic)
         return x
@@ -352,6 +360,7 @@ class BasicLayer(nn.Module):
                 freeze_pretrained=(self.mtlora.enabled
                                    and self.mtlora.freeze_pretrained
                                    and self.mtlora.freeze_reduction),
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name="downsample")
             if tasks is not None:
                 # one batched call over [shared + T tasks] streams
