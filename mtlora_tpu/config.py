@@ -306,6 +306,9 @@ def default_config() -> ConfigNode:
     C.TPU = ConfigNode(new_allowed=True)
     C.TPU.MESH_SHAPE = [-1]          # data-parallel mesh; -1 = all devices
     C.TPU.USE_PALLAS = True          # enable Pallas kernels on the hot path
+    # fused LoRA-GEMM kernel: implemented + tested, but XLA's matmul
+    # fusion measures faster on v5e for the flagship shapes -> default off
+    C.TPU.USE_PALLAS_LORA_GEMM = False
     C.TPU.COMPUTE_DTYPE = "bfloat16"  # compute precision under AMP_ENABLE
     C.TPU.REMAT = False              # jax.checkpoint over Swin blocks
 

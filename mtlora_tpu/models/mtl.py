@@ -111,6 +111,7 @@ class MultiTaskSwin(nn.Module):
     segformer_channels: int = 256
     use_remat: bool = False
     use_pallas: bool = False
+    use_pallas_gemm: bool = False
     dtype: Optional[jnp.dtype] = None
 
     # head factory needs a config-like view; build_mtl_model injects one
@@ -154,6 +155,7 @@ class MultiTaskSwin(nn.Module):
             drop_path_rate=self.drop_path_rate, ape=self.ape,
             patch_norm=self.patch_norm, mtlora=self.mtlora,
             use_remat=self.use_remat, use_pallas=self.use_pallas,
+            use_pallas_gemm=self.use_pallas_gemm,
             dtype=self.dtype, name="backbone")
         stages = backbone(x, deterministic=deterministic, return_stages=True)
 
@@ -229,6 +231,8 @@ def build_mtl_model(config, *, dtype=None) -> MultiTaskSwin:
         use_remat=bool(config.get("TPU", {}).get("REMAT", False)
                        or config.TRAIN.USE_CHECKPOINT),
         use_pallas=_pallas_available(config),
+        use_pallas_gemm=(_pallas_available(config) and bool(
+            config.get("TPU", {}).get("USE_PALLAS_LORA_GEMM", False))),
         dtype=dtype,
     )
 

@@ -72,6 +72,7 @@ class Mlp(nn.Module):
     drop: float = 0.0
     freeze_pretrained: bool = False
     use_pallas: bool = False
+    use_pallas_gemm: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -79,12 +80,12 @@ class Mlp(nn.Module):
         fc1 = MTLoRALinear(self.in_features, self.hidden_features,
                            spec=self.spec, has_tasks=self.fc1_tasks,
                            freeze_pretrained=self.freeze_pretrained,
-                           use_pallas=self.use_pallas,
+                           use_pallas=self.use_pallas_gemm,
                            dtype=self.dtype, name="fc1")
         fc2 = MTLoRALinear(self.hidden_features, self.in_features,
                            spec=self.spec, has_tasks=self.fc2_tasks,
                            freeze_pretrained=self.freeze_pretrained,
-                           use_pallas=self.use_pallas,
+                           use_pallas=self.use_pallas_gemm,
                            dtype=self.dtype, name="fc2")
         drop = nn.Dropout(self.drop, deterministic=deterministic)
 
@@ -123,6 +124,7 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_pallas: bool = False
+    use_pallas_gemm: bool = False
     freeze_pretrained: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -146,14 +148,14 @@ class WindowAttention(nn.Module):
             spec=self.spec if self.qkv_lora else _NO_LORA,
             has_tasks=False, use_bias=self.qkv_bias,
             freeze_pretrained=self.freeze_pretrained,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas_gemm,
             dtype=self.dtype, name="qkv")
         proj = MTLoRALinear(
             self.dim, self.dim,
             spec=self.spec if self.proj_lora else _NO_LORA,
             has_tasks=self.proj_tasks,
             freeze_pretrained=self.freeze_pretrained,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas_gemm,
             dtype=self.dtype, name="proj")
 
         qkv_out, _ = qkv(x, deterministic=deterministic)  # [B, L, 3C]
@@ -203,6 +205,7 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    use_pallas_gemm: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -235,6 +238,7 @@ class SwinBlock(nn.Module):
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             use_pallas=self.use_pallas,
+            use_pallas_gemm=self.use_pallas_gemm,
             freeze_pretrained=m.enabled and m.freeze_pretrained,
             dtype=self.dtype, name="attn")
         aw, aw_tasks = attn(x, (H, W), shift, mask,
@@ -256,7 +260,7 @@ class SwinBlock(nn.Module):
                   spec=self.spec, fc1_tasks=fc1_tasks, fc2_tasks=fc2_tasks,
                   drop=self.drop,
                   freeze_pretrained=m.enabled and m.freeze_pretrained,
-                  use_pallas=self.use_pallas,
+                  use_pallas=self.use_pallas_gemm,
                   dtype=self.dtype, name="mlp")
         mlp_out, mlp_tasks = mlp(
             norm2(x), norm2(attn_tasks) if attn_tasks is not None else None,
@@ -283,6 +287,7 @@ class PatchMerging(nn.Module):
     spec: LoRASpec          # _NO_LORA unless DOWNSAMPLER_ENABLED
     freeze_pretrained: bool = False
     use_pallas: bool = False
+    use_pallas_gemm: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -301,7 +306,7 @@ class PatchMerging(nn.Module):
         x, _ = MTLoRALinear(4 * C, 2 * C, spec=self.spec, has_tasks=False,
                             use_bias=False,
                             freeze_pretrained=self.freeze_pretrained,
-                            use_pallas=self.use_pallas,
+                            use_pallas=self.use_pallas_gemm,
                             dtype=self.dtype,
                             name="reduction")(x, deterministic=deterministic)
         return x
@@ -325,6 +330,7 @@ class BasicLayer(nn.Module):
     has_downsample: bool = False
     use_remat: bool = False
     use_pallas: bool = False
+    use_pallas_gemm: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -346,6 +352,7 @@ class BasicLayer(nn.Module):
                 qk_scale=self.qk_scale, drop=self.drop,
                 attn_drop=self.attn_drop, drop_path=self.drop_path[i],
                 use_pallas=self.use_pallas,
+                use_pallas_gemm=self.use_pallas_gemm,
                 dtype=self.dtype, name=f"blocks_{i}")
             x, t = blk(x, deterministic)
             if t is not None:
@@ -360,7 +367,7 @@ class BasicLayer(nn.Module):
                 freeze_pretrained=(self.mtlora.enabled
                                    and self.mtlora.freeze_pretrained
                                    and self.mtlora.freeze_reduction),
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas_gemm,
                 dtype=self.dtype, name="downsample")
             if tasks is not None:
                 # one batched call over [shared + T tasks] streams
@@ -416,6 +423,7 @@ class SwinTransformerMTLoRA(nn.Module):
     mtlora: MTLoRASpec = MTLoRASpec()
     use_remat: bool = False
     use_pallas: bool = False
+    use_pallas_gemm: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @property

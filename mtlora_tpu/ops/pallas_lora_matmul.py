@@ -47,6 +47,29 @@ def _kernel(x_ref, xd_ref, w_ref, a_ref, b_ref, o_ref, acc_ref, u_ref,
         o_ref[...] = (acc_ref[...] + upd * scale).astype(o_ref.dtype)
 
 
+def _kernel_same(x_ref, w_ref, a_ref, b_ref, o_ref, acc_ref, u_ref,
+                 *, scale, nk):
+    """No-dropout variant: one x fetch feeds both accumulators."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        u_ref[...] = jnp.zeros_like(u_ref)
+
+    x = x_ref[...]
+    acc_ref[...] += jax.lax.dot(
+        x, w_ref[...], preferred_element_type=jnp.float32)
+    u_ref[...] += jax.lax.dot(
+        x, a_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _finish():
+        upd = jax.lax.dot(u_ref[...].astype(b_ref.dtype), b_ref[...],
+                          preferred_element_type=jnp.float32)
+        o_ref[...] = (acc_ref[...] + upd * scale).astype(o_ref.dtype)
+
+
 def _pad_to(x, m, axis):
     pad = (-x.shape[axis]) % m
     if pad == 0:
@@ -57,7 +80,7 @@ def _pad_to(x, m, axis):
 
 
 def lora_matmul_2d(x, x_drop, w, a, b, scale, *, bm=512, bn=512, bk=512,
-                   interpret=False):
+                   interpret=False, same_input=False):
     """One fused pass over 2D operands (padding handled here)."""
     M, K = x.shape
     N = w.shape[1]
@@ -66,29 +89,35 @@ def lora_matmul_2d(x, x_drop, w, a, b, scale, *, bm=512, bn=512, bk=512,
     bn = min(bn, max(128, N))
     bk = min(bk, max(128, K))
     xp = _pad_to(_pad_to(x, bm, 0), bk, 1)
-    xdp = _pad_to(_pad_to(x_drop, bm, 0), bk, 1)
     wp = _pad_to(_pad_to(w, bk, 0), bn, 1)
     ap = _pad_to(a, bk, 0)
     bp = _pad_to(b, bn, 1)
     Mp, Kp = xp.shape
     Np = wp.shape[1]
     nk = Kp // bk
-    kernel = functools.partial(_kernel, scale=scale, nk=nk)
+    x_spec = pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                          memory_space=pltpu.VMEM)
+    common_specs = [
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, r), lambda i, j, k: (k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, bn), lambda i, j, k: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if same_input:
+        kernel = functools.partial(_kernel_same, scale=scale, nk=nk)
+        in_specs = [x_spec] + common_specs
+        args = (xp, wp, ap, bp)
+    else:
+        kernel = functools.partial(_kernel, scale=scale, nk=nk)
+        xdp = _pad_to(_pad_to(x_drop, bm, 0), bk, 1)
+        in_specs = [x_spec, x_spec] + common_specs
+        args = (xp, xdp, wp, ap, bp)
     out = pl.pallas_call(
         kernel,
         grid=(Mp // bm, Np // bn, nk),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, r), lambda i, j, k: (k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, bn), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
@@ -97,7 +126,7 @@ def lora_matmul_2d(x, x_drop, w, a, b, scale, *, bm=512, bn=512, bk=512,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(xp, xdp, wp, ap, bp)
+    )(*args)
     return out[:M, :N]
 
 
@@ -114,7 +143,7 @@ def lora_matmul(x, x_drop, w, a, b, scale, same_input=True,
     lead = x.shape[:-1]
     K = x.shape[-1]
     y = lora_matmul_2d(x.reshape(-1, K), x_drop.reshape(-1, K), w, a, b,
-                       scale, interpret=interpret)
+                       scale, interpret=interpret, same_input=same_input)
     return y.reshape(*lead, w.shape[1])
 
 
@@ -138,7 +167,7 @@ def _bwd(scale, same_input, interpret, res, dy):
         dx = lora_matmul_2d(dy_cast, dy_cast, w.T,
                             b.T.astype(dy_cast.dtype),
                             a.T.astype(dy_cast.dtype), scale,
-                            interpret=interpret)
+                            interpret=interpret, same_input=True)
         dx_drop = jnp.zeros_like(x)
         dx = dx.astype(x.dtype).reshape(*lead, K)
     else:
