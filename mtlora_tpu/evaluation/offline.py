@@ -13,7 +13,7 @@ meters used online.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import numpy as np
 from PIL import Image

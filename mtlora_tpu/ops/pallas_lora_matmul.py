@@ -18,7 +18,7 @@ dimension innermost ("arbitrary"), M/N parallel across megacores.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

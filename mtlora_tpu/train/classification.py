@@ -9,7 +9,7 @@ from ``mtlora_tpu.data.imagenet``.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,10 +15,8 @@ import time
 from typing import Dict, Optional
 
 import jax
-import numpy as np
 
-from mtlora_tpu.data.task_config import LOSS_WEIGHTS
-from mtlora_tpu.evaluation.meters import PerformanceMeter, get_output
+from mtlora_tpu.evaluation.meters import PerformanceMeter
 from mtlora_tpu.parallel.mesh import shard_batch
 from mtlora_tpu.train.losses import multi_task_loss
 from mtlora_tpu.utils.logger import AverageMeter

@@ -12,8 +12,6 @@ the pre-clip gradient norm like the reference logs.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
