@@ -244,6 +244,83 @@ def main(args, config):
         f"Training time {datetime.timedelta(seconds=int(total))}")
 
 
+def main_classification(args, config):
+    """Non-MTL ImageNet classification mode (reference main.py without
+    --tasks: CE/smoothing/mixup training, top-1/5 validation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtlora_tpu.data.imagenet import (
+        ClassificationTransform, ImageFolder, ZipImageFolder, mixup_cutmix)
+    from mtlora_tpu.data.loader import DataLoader
+    from mtlora_tpu.models.build import build_model
+    from mtlora_tpu.parallel.mesh import make_mesh, replicate_tree
+    from mtlora_tpu.train.classification import (
+        make_classification_eval_step, make_classification_train_step)
+    from mtlora_tpu.train.optim import build_optimizer
+    from mtlora_tpu.train.step import TrainState
+    from mtlora_tpu.utils.logger import AverageMeter, create_logger
+
+    os.makedirs(config.OUTPUT, exist_ok=True)
+    logger = create_logger(config.OUTPUT, 0, config.MODEL.NAME)
+    img = int(config.DATA.IMG_SIZE)
+    tr = ClassificationTransform(img)
+    root = config.DATA.DATA_PATH
+    DS = ZipImageFolder if config.DATA.ZIP_MODE else ImageFolder
+    ds_train = DS(os.path.join(root, "train") if not config.DATA.ZIP_MODE
+                  else root, transform=tr, img_size=img)
+    ds_val = DS(os.path.join(root, "val") if not config.DATA.ZIP_MODE
+                else root, transform=tr, img_size=img)
+    loader_train = DataLoader(ds_train, config.DATA.BATCH_SIZE,
+                              num_workers=config.DATA.NUM_WORKERS,
+                              seed=config.SEED)
+    loader_val = DataLoader(ds_val, config.DATA.BATCH_SIZE, shuffle=False,
+                            drop_last=False,
+                            num_workers=config.DATA.NUM_WORKERS)
+    mesh = make_mesh(list(config.TPU.MESH_SHAPE))
+    model = build_model(config)
+    v = jax.jit(lambda r, x: model.init(r, x, return_stages=False,
+                                        flatten_ft=True))(
+        jax.random.PRNGKey(config.SEED),
+        jnp.zeros((2, img, img, 3), jnp.float32))
+    tx = build_optimizer(config, v["params"], len(loader_train),
+                         world_size=mesh.devices.size)
+    state = replicate_tree(
+        TrainState.create(params=v["params"], tx=tx,
+                          rng=jax.random.PRNGKey(config.SEED)), mesh)
+    step = jax.jit(make_classification_train_step(
+        model, tx, config.MODEL.LABEL_SMOOTHING))
+    eval_step = jax.jit(make_classification_eval_step(model))
+    use_mixup = config.AUG.MIXUP > 0
+    num_classes = int(config.MODEL.NUM_CLASSES)
+    rng = np.random.RandomState(config.SEED)
+    for epoch in range(config.TRAIN.EPOCHS):
+        lm = AverageMeter()
+        for batch in loader_train.iter_epoch(epoch):
+            imgs, labels = batch["image"], batch["label"]
+            if use_mixup:
+                imgs, labels = mixup_cutmix(
+                    imgs, labels, num_classes,
+                    mixup_alpha=config.AUG.MIXUP,
+                    cutmix_alpha=config.AUG.CUTMIX,
+                    switch_prob=config.AUG.MIXUP_SWITCH_PROB,
+                    label_smoothing=config.MODEL.LABEL_SMOOTHING, rng=rng)
+            state, m = step(state, {"image": jnp.asarray(imgs),
+                                    "label": jnp.asarray(labels)})
+            lm.update(float(m["loss"]))
+        acc1 = AverageMeter()
+        acc5 = AverageMeter()
+        for batch in loader_val.iter_epoch(0):
+            accs = eval_step(state.params, jnp.asarray(batch["image"]),
+                             jnp.asarray(batch["label"]))
+            n = batch["image"].shape[0]
+            acc1.update(float(accs["acc1"]), n)
+            acc5.update(float(accs["acc5"]), n)
+        logger.info(f"epoch {epoch}: loss {lm.avg:.4f} "
+                    f"acc@1 {acc1.avg:.2f} acc@5 {acc5.avg:.2f}")
+
+
 def _wandb_log_fn(args, config, logger):
     if getattr(args, "disable_wandb", False):
         return None
@@ -267,4 +344,7 @@ if __name__ == "__main__":
     import numpy as np
 
     np.random.seed(config.SEED)
-    main(args, config)
+    if config.get("MTL", False):
+        main(args, config)
+    else:
+        main_classification(args, config)

@@ -46,7 +46,8 @@ def accuracy_topk(logits: jnp.ndarray, labels: jnp.ndarray,
     labels = labels.astype(jnp.int32)
     out = {}
     for k in topk:
-        _, pred = jax.lax.top_k(logits, k)
+        kk = min(k, logits.shape[-1])
+        _, pred = jax.lax.top_k(logits, kk)
         correct = (pred == labels[:, None]).any(axis=-1)
         out[f"acc{k}"] = 100.0 * correct.mean()
     return out
