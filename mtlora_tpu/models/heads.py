@@ -15,11 +15,25 @@ at the finest scale; the DecoderGroup resizes to image size.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
+
+
+# torch Conv2d/Linear default init (kaiming_uniform a=sqrt(5) ->
+# U(+-1/sqrt(fan_in))), so training-from-scratch matches the reference's
+# head initialization statistics.
+torch_default_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_default_bias_init(key, shape, dtype, fan_in):
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
@@ -49,9 +63,14 @@ class ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         pad = self.dilation * (self.kernel - 1) // 2
+        fan_in = x.shape[-1] * self.kernel * self.kernel
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     padding=pad, kernel_dilation=(self.dilation,) * 2,
-                    use_bias=self.use_bias, dtype=self.dtype, name="conv")(x)
+                    use_bias=self.use_bias,
+                    kernel_init=torch_default_kernel_init,
+                    bias_init=functools.partial(torch_default_bias_init,
+                                                fan_in=fan_in),
+                    dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=self.bn_momentum, epsilon=1e-5,
                          dtype=self.dtype, name="bn")(x)
@@ -70,8 +89,11 @@ class HighResolutionHead(nn.Module):
         c = x.shape[-1]
         x = ConvBNRelu(c * 4, kernel=1, dtype=self.dtype, name="expand")(
             x, train=train)
-        return nn.Conv(self.num_outputs, (1, 1), dtype=self.dtype,
-                       name="pred")(x)
+        return nn.Conv(self.num_outputs, (1, 1),
+                       kernel_init=torch_default_kernel_init,
+                       bias_init=functools.partial(
+                           torch_default_bias_init, fan_in=x.shape[-1]),
+                       dtype=self.dtype, name="pred")(x)
 
 
 class SegFormerHead(nn.Module):

@@ -102,7 +102,9 @@ def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
         _, per_task = multi_task_loss(preds, targets, tasks)
         for t in tasks:
             loss_meters[t].update(float(per_task[t]), bsz)
-    meter.states = jax.device_get(states)
+    from mtlora_tpu.parallel.distributed import allreduce_meter_states
+
+    meter.states = jax.device_get(allreduce_meter_states(states))
     scores = meter.get_score(verbose=logger is not None)
     if logger:
         for t in tasks:

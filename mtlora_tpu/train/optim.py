@@ -250,6 +250,26 @@ def build_optimizer(config, params, n_iter_per_epoch: int,
         {"trainable": opt, "frozen": optax.set_to_zero()}, labels)
 
 
+def freeze_component_mask(params, *, freeze_backbone=False,
+                          freeze_tasks=()):
+    """Trainability mask for the reference's freeze helpers
+    (MultiTaskSwin.freeze_backbone / freeze_task, swin_mtl.py:248-270):
+    True = trainable. Compose with lora_trainable_mask via logical AND."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    frozen_decoders = {f"decoder_{t}" for t in freeze_tasks}
+    for path, _ in flat.items():
+        trainable = True
+        if freeze_backbone and path[0] == "backbone":
+            trainable = False
+        if path[0] in frozen_decoders:
+            trainable = False
+        out[path] = trainable
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def count_params(params, config=None):
     """Parameter accounting printout data (reference main.py:269-285)."""
     import flax
