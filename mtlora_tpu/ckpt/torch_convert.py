@@ -322,9 +322,20 @@ def merge_converted(variables, converted, *, strict: bool = False,
     for k, v in flat_new.items():
         if k in merged:
             if merged[k].shape != v.shape:
-                raise ValueError(
-                    f"shape mismatch at {'/'.join(k)}: "
-                    f"init {merged[k].shape} vs ckpt {v.shape}")
+                if k[-1] == "relative_position_bias_table":
+                    # per-block window clamping (blocks whose resolution
+                    # is below the global window size use smaller tables;
+                    # swin_transformer_mtlora.py:279-282) — bicubic-resize
+                    # to the target block's table like utils.py:203-221
+                    v = jnp.asarray(resize_rel_pos_bias_table(
+                        np.asarray(v), merged[k].shape[0]))
+                elif k[-1] == "absolute_pos_embed":
+                    v = jnp.asarray(resize_abs_pos_embed(
+                        np.asarray(v), merged[k].shape[1]))
+                else:
+                    raise ValueError(
+                        f"shape mismatch at {'/'.join(k)}: "
+                        f"init {merged[k].shape} vs ckpt {v.shape}")
             merged[k] = v.astype(merged[k].dtype)
             loaded += 1
         else:
