@@ -116,3 +116,41 @@ def test_full_model_parity_downsampler_lora():
     cfg = tiny_cfg(**{"MODEL.MTLORA.DOWNSAMPLER_ENABLED": "True"})
     out_ref, out_jax = _forward_both(cfg, seed=3)
     _assert_close(out_ref, out_jax)
+
+
+@pytest.mark.parametrize("mode", ["matrixv2", "addition"])
+def test_full_model_parity_shared_modes(mode):
+    cfg = tiny_cfg(**{"MODEL.MTLORA.SHARED_MODE": mode})
+    out_ref, out_jax = _forward_both(cfg, seed=4)
+    _assert_close(out_ref, out_jax)
+
+
+def test_full_model_parity_nyud_tasks():
+    """NYUD task set exercises edge + depth heads/outputs."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    tasks = ["semseg", "normals", "edge", "depth"]
+    opts = ["MODEL.SWIN.DEPTHS", "[2, 2, 2, 2]",
+            "MODEL.SWIN.EMBED_DIM", "24",
+            "MODEL.SWIN.NUM_HEADS", "[2, 2, 2, 2]",
+            "MODEL.SWIN.WINDOW_SIZE", "4",
+            "MODEL.MTLORA.R", "[8]",
+            "MODEL.MTLORA.R_PER_TASK", "{}",
+            "AMP_ENABLE", "False"]
+    cfg = load_config(CFG, tasks=tasks, db_name="NYUD", img_size=64,
+                      opts=opts)
+    ref = _rand_like_torch_model(build_reference_model(cfg, tasks), 5)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    x = np.random.RandomState(5).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x))
+    model = build_mtl_model(cfg)
+    x_jax = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x_jax)
+    variables = merge_converted(variables,
+                                convert_torch_state_dict(sd, tasks))
+    out_jax = jax.jit(model.apply)(variables, x_jax)
+    assert out_jax["semseg"].shape[-1] == 40  # NYUD class count
+    _assert_close(out_ref, out_jax)
