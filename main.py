@@ -227,7 +227,8 @@ def main(args, config):
     epoch = start_epoch
     for epoch in range(start_epoch, config.TRAIN.EPOCHS):
         state, _ = train_one_epoch(config, state, train_step, loader_train,
-                                   epoch, mesh, logger, log_fn)
+                                   epoch, mesh, logger, log_fn,
+                                   eval_step=eval_step)
         if jax.process_index() == 0 and (
                 epoch % config.SAVE_FREQ == 0
                 or epoch == config.TRAIN.EPOCHS - 1):

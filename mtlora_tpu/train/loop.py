@@ -30,7 +30,7 @@ def _device_batch(batch: Dict, mesh=None):
 
 
 def train_one_epoch(config, state, train_step, loader, epoch: int,
-                    mesh=None, logger=None, log_fn=None):
+                    mesh=None, logger=None, log_fn=None, eval_step=None):
     """One epoch (reference train_one_epoch main.py:313-436)."""
     num_steps = len(loader)
     batch_time = AverageMeter()
@@ -69,11 +69,43 @@ def train_one_epoch(config, state, train_step, loader, epoch: int,
                            for t in config.TASKS},
                         "epoch": epoch, "step": idx})
         end = time.perf_counter()
+    # training-set eval on the last batch every EVAL_TRAINING epochs
+    # (reference main.py:403-412)
+    eval_training = config.get("EVAL_TRAINING", None)
+    if (eval_training and eval_step is not None
+            and epoch % eval_training == 0):
+        meter = PerformanceMeter(list(config.TASKS), config.DATA.DBNAME)
+        preds = eval_step(state.params, state.batch_stats,
+                          dev_batch["image"])
+        meter.states = jax.device_get(meter.update_jit(
+            meter.states, preds, {t: dev_batch[t] for t in config.TASKS}))
+        scores = meter.get_score(verbose=logger is not None)
+        if log_fn:
+            log_fn(_score_logs(scores, epoch, prefix="train_eval"))
     if logger:
         logger.info(f"EPOCH {epoch} training takes "
                     f"{time.perf_counter() - start:.1f}s")
     return state, {"loss": loss_meter.avg,
                    **{t: task_meters[t].avg for t in config.TASKS}}
+
+
+def _score_logs(scores, epoch, prefix="val"):
+    """wandb metric schema of the reference (main.py:503-526):
+    {prefix}/tasks/{task}/{metric}."""
+    logs = {f"{prefix}/epoch": epoch}
+    keymap = {
+        "semseg": ("mIoU",),
+        "normals": ("mean", "rmse", "mean_v2", "rmse_v2"),
+        "human_parts": ("mIoU",),
+        "sal": ("maxF", "Beta maxF", "mIoU"),
+        "edge": ("loss",),
+        "depth": ("rmse", "log_rmse"),
+    }
+    for task, res in scores.items():
+        for m in keymap.get(task, ()):
+            if m in res:
+                logs[f"{prefix}/tasks/{task}/{m}"] = res[m]
+    return logs
 
 
 def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
@@ -110,14 +142,9 @@ def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
         for t in tasks:
             logger.info(f"val loss {t}: {loss_meters[t].avg:.4f}")
     if log_fn:
-        flat = {}
-        for t, s in scores.items():
-            for k, v in s.items():
-                if isinstance(v, (int, float)):
-                    flat[f"val/{t}_{k}"] = v
+        flat = _score_logs(scores, epoch, prefix="val")
         for t in tasks:
             flat[f"val/loss_{t}"] = loss_meters[t].avg
-        flat["epoch"] = epoch
         log_fn(flat)
     return scores
 
