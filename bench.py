@@ -41,12 +41,13 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_mesh([-1])
 
-    def run(batch_per_chip):
+    def run(batch_per_chip, use_pallas=True):
         B = batch_per_chip * n_dev
         cfg = load_config(
             "configs/mtlora/tiny_448/mtlora_tiny_448_r64_scale4_pertask.yaml",
             tasks=list(tasks), img_size=img,
-            opts=["DATA.BATCH_SIZE", str(B)])
+            opts=["DATA.BATCH_SIZE", str(B),
+                  "TPU.USE_PALLAS", str(use_pallas)])
         model = build_mtl_model(cfg)  # AMP on -> bf16 compute dtype
         x0 = jnp.zeros((2, img, img, 3), jnp.float32)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
@@ -83,15 +84,13 @@ def main():
 
     imgs_per_sec = None
     err = None
-    for bpc in (32, 16, 8, 4, 2):
+    for bpc, pallas in ((32, True), (16, True), (8, True), (4, True),
+                        (32, False), (16, False), (8, False)):
         try:
-            imgs_per_sec = run(bpc)
+            imgs_per_sec = run(bpc, pallas)
             break
-        except Exception as e:  # OOM backoff
+        except Exception as e:  # OOM / kernel-compat backoff
             err = e
-            if "RESOURCE_EXHAUSTED" not in str(e) and \
-                    "Out of memory" not in str(e).lower():
-                raise
     if imgs_per_sec is None:
         raise err
 
