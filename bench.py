@@ -84,13 +84,20 @@ def main():
 
     imgs_per_sec = None
     err = None
+    winning = None
+    fallbacks = []
     for bpc, pallas in ((32, True), (16, True), (8, True), (4, True),
                         (32, False), (16, False), (8, False)):
         try:
             imgs_per_sec = run(bpc, pallas)
+            winning = {"batch_per_chip": bpc, "use_pallas": pallas}
             break
         except Exception as e:  # OOM / kernel-compat backoff
             err = e
+            fallbacks.append(
+                f"bpc={bpc},pallas={pallas}: {type(e).__name__}")
+            print(f"bench config bpc={bpc} pallas={pallas} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
     if imgs_per_sec is None:
         raise err
 
@@ -100,6 +107,8 @@ def main():
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / A100_BASELINE_IMGS_PER_SEC, 3),
+        "config": winning,
+        "fallbacks": fallbacks,
     }))
 
 

@@ -46,6 +46,9 @@ def parse_option():
     p.add_argument("--name", type=str, help="override model name")
     p.add_argument("--eval", action="store_true",
                    help="evaluation only")
+    p.add_argument("--merged", action="store_true",
+                   help="with --eval: fold shared LoRA into the kernels "
+                        "and skip the adapter GEMMs (merge_lora_weights)")
     p.add_argument("--throughput", action="store_true",
                    help="throughput only")
     p.add_argument("--epochs", type=int)
@@ -218,6 +221,19 @@ def main(args, config):
         throughput(config, state, eval_step, loader_val, mesh, logger)
         return
     if config.EVAL_MODE:
+        if getattr(args, "merged", False):
+            # fold shared adapters into the kernels and re-jit the eval
+            # step on the merged model (skips the shared-LoRA GEMMs on
+            # every layer where merging is valid)
+            from mtlora_tpu.models.lora import (
+                MTLoRASpec, merge_lora_weights)
+
+            merged_params, merged_spec = merge_lora_weights(
+                state.params, MTLoRASpec.from_config(config))
+            state = state.replace(params=merged_params)
+            eval_step = jit_eval_step(
+                make_eval_step(model.clone(mtlora=merged_spec)), mesh)
+            logger.info("merged shared LoRA into kernels (fast eval path)")
         validate(config, state, eval_step, loader_val, 0, mesh, logger,
                  log_fn)
         return

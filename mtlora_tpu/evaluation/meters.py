@@ -253,11 +253,12 @@ class SaliencyMeter(MeterBase):
 
     def compute(self, state, verbose=False):
         tp = np.asarray(state["tp"], np.float64)
-        prec = tp / np.asarray(state["pred_pos"], np.float64)
-        rec = tp / np.asarray(state["act_pos"], np.float64)
-        num = (1 + self.beta_squared) * prec * rec
-        den = self.beta_squared * prec + rec
-        f = num / den
+        with np.errstate(divide="ignore", invalid="ignore"):
+            prec = tp / np.asarray(state["pred_pos"], np.float64)
+            rec = tp / np.asarray(state["act_pos"], np.float64)
+            num = (1 + self.beta_squared) * prec * rec
+            den = self.beta_squared * prec + rec
+            f = num / den
         f = np.nan_to_num(f, nan=0.0)
         n = max(float(state["n_img"]), 1.0)
         mprec = np.asarray(state["prec_sum"], np.float64) / n

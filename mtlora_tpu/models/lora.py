@@ -45,6 +45,10 @@ class LoRASpec:
     trainable_scale_shared: bool = False
     trainable_scale_per_task: bool = False
     shared_mode: str = "matrix"
+    # set by merge_lora_weights: the shared A/B update has been folded into
+    # the pretrained kernel, so layers where merging is valid skip the
+    # shared-branch GEMMs at inference (merged fast path)
+    shared_merged: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -196,8 +200,14 @@ class MTLoRALinear(nn.Module):
             x_drop = jnp.where(keep, xc / (1.0 - spec.dropout), 0.0)
 
         # ---- shared branch ------------------------------------------------
+        # merged fast path: the shared update is already folded into the
+        # kernel (merge_lora_weights), valid only where the task streams
+        # also carry the shared update (matrixv2) or there are none —
+        # exactly the layers merge_lora_weights touches.
+        merged = spec.shared_merged and (
+            not tasks_active or mode == "matrixv2")
         shared_update = None
-        if mode in ("matrix", "matrixv2"):
+        if mode in ("matrix", "matrixv2") and not merged:
             A_s = self.param("lora_shared_A", _kaiming_uniform_rows,
                              (self.in_features, spec.r_shared), param_dtype)
             B_s = self.param("lora_shared_B", nn.initializers.zeros,
@@ -254,9 +264,10 @@ class MTLoRALinear(nn.Module):
                                      B_t.astype(dtype))
             task_update = task_update * s_t.reshape(
                 (T,) + (1,) * (task_update.ndim - 1))
-            if mode == "matrixv2":
+            if mode == "matrixv2" and shared_update is not None:
                 # per-task output also carries the shared update
-                # (reference models/lora.py:270-273)
+                # (reference models/lora.py:270-273); when merged, the
+                # kernel already contains it
                 y_tasks = pretrained[None] + shared_update[None] + task_update
             else:
                 y_tasks = pretrained[None] + task_update
@@ -266,6 +277,8 @@ class MTLoRALinear(nn.Module):
                 shared_update = nn.LayerNorm(
                     dtype=dtype, name="lora_norm")(jnp.sum(y_tasks, axis=0))
 
+        if shared_update is None:
+            return pretrained, y_tasks
         return pretrained + shared_update, y_tasks
 
 
@@ -429,29 +442,72 @@ class LoRAQKVLinear(nn.Module):
         return y + jnp.concatenate(segs, axis=-1) * scaling
 
 
-def merge_lora_weights(params):
-    """Fold LoRA updates into the frozen kernels for fast inference.
+def _stage_of(path: Tuple[str, ...]) -> Optional[int]:
+    """Swin stage index from a flattened param path (…/layers_{i}/…)."""
+    for p in path:
+        if p.startswith("layers_") and p[7:].isdigit():
+            return int(p[7:])
+    return None
 
-    Equivalent of reference ``merge_lora_weights`` (models/lora.py:637) for
-    the shared stream: kernel += A_s @ B_s * scale. Per-task adapters are
-    left untouched (the reference's MTLoRALinear.merge is NotImplemented;
-    models/lora.py:249-251).
+
+def merge_lora_weights(params, mtlora: Optional[MTLoRASpec] = None):
+    """Fold shared-LoRA updates into the frozen kernels for fast inference:
+    ``kernel += (A_s @ B_s) * s_s`` (reference merge_lora_weights,
+    models/lora.py:637-641, which the reference applies only to plain
+    LoRALinear — MTLoRALinear.merge is NotImplemented there,
+    models/lora.py:249-251; here the MTL layers merge too where valid).
+
+    Scale resolution is trainable-scale aware: a ``lora_shared_scale``
+    param wins; otherwise the static ``stage_specs[stage].shared_scale``.
+
+    Merging is skipped on layers with per-task branches in ``matrix``/
+    ``addition`` mode — there the per-task outputs do NOT carry the shared
+    update, so folding it into the kernel would corrupt them. In
+    ``matrixv2`` every stream carries the shared update and all layers
+    merge. Merged layers get ``lora_shared_B`` zeroed, so applying the
+    UNMERGED model with merged params is output-identical (tested in
+    tests/test_lora_extra.py); build the model with the returned spec for
+    the fast path that skips the adapter GEMMs entirely.
+
+    Returns ``(new_params, merged_spec)``; ``merged_spec`` is None when no
+    spec was given.
     """
     import flax
 
     flat = flax.traverse_util.flatten_dict(params)
     out = dict(flat)
-    for path, val in flat.items():
-        if path[-1] == "lora_shared_A":
-            base = path[:-1]
-            B = flat.get(base + ("lora_shared_B",))
-            kernel = flat.get(base + ("kernel",))
-            if B is None or kernel is None:
-                continue
-            # NOTE: static shared_scale is not recoverable from params when
-            # non-trainable; caller passes merged scale via closure if != 1.
-            out[base + ("kernel",)] = kernel + val @ B
-    return flax.traverse_util.unflatten_dict(out)
+    for path, A in flat.items():
+        if path[-1] != "lora_shared_A":
+            continue
+        base = path[:-1]
+        B = flat.get(base + ("lora_shared_B",))
+        kernel = flat.get(base + ("kernel",))
+        if B is None or kernel is None:
+            continue
+        stage = _stage_of(base)
+        spec = None
+        if (mtlora is not None and mtlora.stage_specs and stage is not None
+                and stage < len(mtlora.stage_specs)):
+            spec = mtlora.stage_specs[stage]
+        mode = spec.shared_mode if spec is not None else "matrix"
+        has_tasks = (base + ("lora_tasks_B",)) in flat
+        if has_tasks and mode != "matrixv2":
+            continue  # per-task streams don't carry the shared update
+        scale_p = flat.get(base + ("lora_shared_scale",))
+        if scale_p is not None:
+            s = scale_p.reshape(())
+        elif spec is not None:
+            s = spec.shared_scale
+        else:
+            s = 1.0
+        out[base + ("kernel",)] = kernel + (A @ B) * s
+        out[base + ("lora_shared_B",)] = jnp.zeros_like(B)
+    merged_spec = None
+    if mtlora is not None:
+        merged_spec = dataclasses.replace(mtlora, stage_specs=tuple(
+            dataclasses.replace(s, shared_merged=True)
+            for s in mtlora.stage_specs))
+    return flax.traverse_util.unflatten_dict(out), merged_spec
 
 
 def is_lora_param(path: Tuple[str, ...]) -> bool:

@@ -482,6 +482,7 @@ class SwinTransformerMTLoRA(nn.Module):
                 drop_path=dpr[start:start + self.depths[i]],
                 has_downsample=(i < self.num_layers - 1),
                 use_remat=self.use_remat, use_pallas=self.use_pallas,
+                use_pallas_gemm=self.use_pallas_gemm,
                 dtype=self.dtype, name=f"layers_{i}")
             x, tasks = layer(x, deterministic=deterministic)
             if tasks is None and T > 0:

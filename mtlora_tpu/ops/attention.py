@@ -5,8 +5,8 @@ Rebuild of the attention math in reference ``WindowAttention.forward``
 position bias (+ optional shift mask) -> softmax -> @v.
 
 The jnp path maps onto batched MXU matmuls. A Pallas fused kernel
-(``mtlora_tpu.ops.pallas_attention``) implements the same contract for the
-hot path; this module is the reference implementation and fallback.
+(``mtlora_tpu.ops.pallas_window_attn``) implements the same contract for
+the hot path; this module is the reference implementation and fallback.
 """
 
 from __future__ import annotations

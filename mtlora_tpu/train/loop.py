@@ -41,6 +41,8 @@ def train_one_epoch(config, state, train_step, loader, epoch: int,
     start = time.perf_counter()
     end = start
     metrics = None
+    dev_batch = None
+    last_sync = -1  # batch index of the previous hard sync
     for idx, batch in enumerate(loader.iter_epoch(epoch)):
         bsz = batch["image"].shape[0]
         dev_batch = _device_batch(batch, mesh)
@@ -52,8 +54,11 @@ def train_one_epoch(config, state, train_step, loader, epoch: int,
             norm_meter.update(metrics["grad_norm"])
             for t in config.TASKS:
                 task_meters[t].update(metrics[f"loss_{t}"], bsz)
+            # the sync drains all device work queued since the last sync,
+            # i.e. idx - last_sync batches
             batch_time.update((time.perf_counter() - end)
-                              / max(idx % config.PRINT_FREQ, 1))
+                              / max(idx - last_sync, 1))
+            last_sync = idx
             if logger:
                 etas = batch_time.avg * (num_steps - idx)
                 logger.info(
@@ -72,7 +77,7 @@ def train_one_epoch(config, state, train_step, loader, epoch: int,
     # training-set eval on the last batch every EVAL_TRAINING epochs
     # (reference main.py:403-412)
     eval_training = config.get("EVAL_TRAINING", None)
-    if (eval_training and eval_step is not None
+    if (eval_training and eval_step is not None and dev_batch is not None
             and epoch % eval_training == 0):
         meter = PerformanceMeter(list(config.TASKS), config.DATA.DBNAME)
         preds = eval_step(state.params, state.batch_stats,
@@ -112,39 +117,50 @@ def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
              logger=None, log_fn=None, update_jit=None):
     """Full validation pass (reference validate main.py:439-528):
     streaming meters + per-task eval losses."""
+    import jax.numpy as jnp
+
     tasks = list(config.TASKS)
     meter = PerformanceMeter(tasks, config.DATA.DBNAME)
-    loss_meters = {t: AverageMeter() for t in tasks}
 
     if update_jit is None:
-        update_jit = jax.jit(
-            lambda states, preds, targets: meter.update_jit(
-                states, preds, targets))
+        # ONE jitted device-side update per batch: meter states AND the
+        # per-task eval losses accumulate on device; the host syncs once
+        # after the loop (the reference round-trips per batch,
+        # main.py:466-476)
+        @jax.jit
+        def update_jit(states, loss_sums, preds, targets, weight):
+            new_states = meter.update_jit(states, preds, targets)
+            _, per_task = multi_task_loss(preds, targets, tasks)
+            new_sums = {t: loss_sums[t] + per_task[t] * weight
+                        for t in tasks}
+            new_sums["_n"] = loss_sums["_n"] + weight
+            return new_states, new_sums
 
     states = meter.states
+    loss_sums = {t: jnp.zeros(()) for t in tasks}
+    loss_sums["_n"] = jnp.zeros(())
     for batch in loader.iter_epoch(0):
         bsz = batch["image"].shape[0]
         dev_batch = _device_batch(batch, mesh)
         preds = eval_step(state.params, state.batch_stats,
                           dev_batch["image"])
         targets = {t: dev_batch[t] for t in tasks}
-        states = update_jit(states, preds, targets)
-        # eval loss (quirk preserved: computed on the same fwd outputs;
-        # reference computes fwd outside autocast, loss inside)
-        _, per_task = multi_task_loss(preds, targets, tasks)
-        for t in tasks:
-            loss_meters[t].update(float(per_task[t]), bsz)
+        states, loss_sums = update_jit(states, loss_sums, preds, targets,
+                                       float(bsz))
     from mtlora_tpu.parallel.distributed import allreduce_meter_states
 
     meter.states = jax.device_get(allreduce_meter_states(states))
+    loss_sums = jax.device_get(loss_sums)
+    n = max(float(loss_sums["_n"]), 1.0)
+    loss_avgs = {t: float(loss_sums[t]) / n for t in tasks}
     scores = meter.get_score(verbose=logger is not None)
     if logger:
         for t in tasks:
-            logger.info(f"val loss {t}: {loss_meters[t].avg:.4f}")
+            logger.info(f"val loss {t}: {loss_avgs[t]:.4f}")
     if log_fn:
         flat = _score_logs(scores, epoch, prefix="val")
         for t in tasks:
-            flat[f"val/loss_{t}"] = loss_meters[t].avg
+            flat[f"val/loss_{t}"] = loss_avgs[t]
         log_fn(flat)
     return scores
 
