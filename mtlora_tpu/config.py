@@ -309,6 +309,10 @@ def default_config() -> ConfigNode:
     # fused LoRA-GEMM kernel: implemented + tested, but XLA's matmul
     # fusion measures faster on v5e for the flagship shapes -> default off
     C.TPU.USE_PALLAS_LORA_GEMM = False
+    # fused adapter MLP-tail kernel (ops/pallas_adapter_mlp.py): keeps the
+    # [T, ..., hidden] per-task tensors in VMEM — the largest HBM-traffic
+    # term of the training step (docs/PERF.md)
+    C.TPU.USE_PALLAS_ADAPTER = True
     C.TPU.COMPUTE_DTYPE = "bfloat16"  # compute precision under AMP_ENABLE
     C.TPU.REMAT = False              # jax.checkpoint over Swin blocks
 

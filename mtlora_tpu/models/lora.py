@@ -22,12 +22,27 @@ Shared modes (reference models/lora.py:177-182, 259-282):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+
+class FactoredTasks(NamedTuple):
+    """Per-task adapter output in factored (rank-space) form.
+
+    Produced by ``MTLoRALinear(..., factored_tasks=True)`` instead of the
+    materialized ``[T, ..., out]`` task streams, and consumed by the next
+    ``MTLoRALinear(..., task_factored=...)`` through the fused Pallas
+    adapter kernel (ops/pallas_adapter_mlp.py) so the full-width per-task
+    hidden tensor never touches HBM.
+    """
+    pretrained: jnp.ndarray        # [..., out] frozen output (pre-act)
+    midT: jnp.ndarray              # [T, r, M] task A-projections
+    B: jnp.ndarray                 # [T, r, out] task B matrices
+    scales: Tuple[float, ...]      # static per-task scales
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,7 +176,15 @@ class MTLoRALinear(nn.Module):
                 and self.spec.shared_mode != "lora_only")
 
     @nn.compact
-    def __call__(self, x, x_tasks=None, *, deterministic: bool = True):
+    def __call__(self, x, x_tasks=None, *, deterministic: bool = True,
+                 factored_tasks: bool = False, task_factored=None):
+        """``factored_tasks=True`` returns the per-task output as a
+        :class:`FactoredTasks` (rank-space) instead of materialized
+        ``[T, ..., out]`` streams; ``task_factored=<FactoredTasks>``
+        consumes an upstream layer's factored output through the fused
+        Pallas adapter kernel (exact gelu between the two layers is
+        applied inside the kernel). Both require 'matrix' shared mode
+        with static per-task scales; the caller (Mlp) gates this."""
         spec = self.spec
         param_dtype = jnp.float32
         kernel = self.param(
@@ -257,11 +280,44 @@ class MTLoRALinear(nn.Module):
                 rank_mask = (np.arange(r_max)[None, :]
                              < np.asarray(spec.r_tasks)[:, None])
                 A_t = A_t * jnp.asarray(rank_mask, param_dtype)[:, None, :]
-            xt = x_drop[None] if x_tasks is None else x_tasks.astype(dtype)
-            # ONE batched-over-tasks low-rank update (the north-star fusion)
-            mid = jnp.einsum("t...i,tir->t...r", xt, A_t.astype(dtype))
-            task_update = jnp.einsum("t...r,tro->t...o", mid,
-                                     B_t.astype(dtype))
+            if factored_tasks:
+                # emit rank-space task output; consumer runs the fused
+                # kernel (requires static scales + 'matrix' mode)
+                assert mode == "matrix" and not spec.trainable_scale_per_task
+                xt = (x_drop[None] if x_tasks is None
+                      else x_tasks.astype(dtype))
+                xt2 = jnp.broadcast_to(
+                    xt, (T,) + xt.shape[1:]).reshape(T, -1, self.in_features)
+                mid1T = jnp.einsum("tmi,tir->trm", xt2, A_t.astype(dtype))
+                return (pretrained + shared_update
+                        if shared_update is not None else pretrained), \
+                    FactoredTasks(pretrained=pretrained, midT=mid1T,
+                                  B=B_t.astype(dtype),
+                                  scales=spec.task_scales)
+            if task_factored is not None:
+                # fused path: gelu(p_prev + s1*mid1@B1) @ A2 inside the
+                # Pallas kernel — the [T, ..., hidden] tensor never
+                # touches HBM (ops/pallas_adapter_mlp.py)
+                from mtlora_tpu.ops.pallas_adapter_mlp import (
+                    fused_adapter_mid)
+
+                f = task_factored
+                p_prev = f.pretrained.astype(dtype).reshape(
+                    -1, self.in_features)
+                a2T = jnp.swapaxes(A_t.astype(dtype), 1, 2)
+                interp = jax.default_backend() == "cpu"
+                mid2T = fused_adapter_mid(f.midT, p_prev, f.B, a2T,
+                                          f.scales, interp)
+                task_update = jnp.einsum("trm,tro->tmo", mid2T,
+                                         B_t.astype(dtype))
+                task_update = task_update.reshape((T,) + pretrained.shape)
+            else:
+                xt = (x_drop[None] if x_tasks is None
+                      else x_tasks.astype(dtype))
+                # ONE batched-over-tasks low-rank update
+                mid = jnp.einsum("t...i,tir->t...r", xt, A_t.astype(dtype))
+                task_update = jnp.einsum("t...r,tro->t...o", mid,
+                                         B_t.astype(dtype))
             task_update = task_update * s_t.reshape(
                 (T,) + (1,) * (task_update.ndim - 1))
             if mode == "matrixv2" and shared_update is not None:

@@ -112,6 +112,7 @@ class MultiTaskSwin(nn.Module):
     use_remat: bool = False
     use_pallas: bool = False
     use_pallas_gemm: bool = False
+    use_pallas_adapter: bool = False
     dtype: Optional[jnp.dtype] = None
 
     # head factory needs a config-like view; build_mtl_model injects one
@@ -156,6 +157,7 @@ class MultiTaskSwin(nn.Module):
             patch_norm=self.patch_norm, mtlora=self.mtlora,
             use_remat=self.use_remat, use_pallas=self.use_pallas,
             use_pallas_gemm=self.use_pallas_gemm,
+            use_pallas_adapter=self.use_pallas_adapter,
             dtype=self.dtype, name="backbone")
         stages = backbone(x, deterministic=deterministic, return_stages=True)
 
@@ -233,6 +235,8 @@ def build_mtl_model(config, *, dtype=None) -> MultiTaskSwin:
         use_pallas=_pallas_available(config),
         use_pallas_gemm=(_pallas_available(config) and bool(
             config.get("TPU", {}).get("USE_PALLAS_LORA_GEMM", False))),
+        use_pallas_adapter=(_pallas_available(config) and bool(
+            config.get("TPU", {}).get("USE_PALLAS_ADAPTER", True))),
         dtype=dtype,
     )
 

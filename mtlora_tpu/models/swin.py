@@ -73,6 +73,7 @@ class Mlp(nn.Module):
     freeze_pretrained: bool = False
     use_pallas: bool = False
     use_pallas_gemm: bool = False
+    use_pallas_adapter: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -89,11 +90,29 @@ class Mlp(nn.Module):
                            dtype=self.dtype, name="fc2")
         drop = nn.Dropout(self.drop, deterministic=deterministic)
 
-        x, t = fc1(x, x_tasks, deterministic=deterministic)
+        # Fused adapter path: route the per-task fc1->gelu->fc2 chain
+        # through the Pallas kernel so the [T, ..., hidden] task tensor
+        # stays in VMEM (ops/pallas_adapter_mlp.py). Valid when both fc
+        # layers carry task adapters, 'matrix' shared mode, static task
+        # scales, and no hidden dropout is active.
+        fused = (self.use_pallas_adapter and self.fc1_tasks
+                 and self.fc2_tasks and len(self.spec.r_tasks) > 0
+                 and max(self.spec.r_tasks) > 0
+                 and self.spec.shared_mode == "matrix"
+                 and not self.spec.trainable_scale_per_task
+                 and (self.drop == 0.0 or deterministic))
+
+        x, t = fc1(x, x_tasks, deterministic=deterministic,
+                   factored_tasks=fused)
         x = drop(jax.nn.gelu(x, approximate=False))
-        if t is not None:
-            t = drop(jax.nn.gelu(t, approximate=False))
-        x, t = fc2(x, t, deterministic=deterministic)
+        if fused and t is not None:
+            # gelu on the task hidden happens inside the fused kernel
+            x, t = fc2(x, None, task_factored=t,
+                       deterministic=deterministic)
+        else:
+            if t is not None:
+                t = drop(jax.nn.gelu(t, approximate=False))
+            x, t = fc2(x, t, deterministic=deterministic)
         x = drop(x)
         if t is not None:
             t = drop(t)
@@ -206,6 +225,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     use_pallas: bool = False
     use_pallas_gemm: bool = False
+    use_pallas_adapter: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -261,6 +281,7 @@ class SwinBlock(nn.Module):
                   drop=self.drop,
                   freeze_pretrained=m.enabled and m.freeze_pretrained,
                   use_pallas=self.use_pallas_gemm,
+                  use_pallas_adapter=self.use_pallas_adapter,
                   dtype=self.dtype, name="mlp")
         mlp_out, mlp_tasks = mlp(
             norm2(x), norm2(attn_tasks) if attn_tasks is not None else None,
@@ -295,6 +316,11 @@ class PatchMerging(nn.Module):
         H, W = self.input_resolution
         *lead, L, C = x.shape
         assert L == H * W and H % 2 == 0 and W % 2 == 0
+        # NOTE: a reshape/transpose space-to-depth was measured SLOWER on
+        # v5e than these strided slices (downsample bucket 35 -> 53
+        # ms/step): XLA lowers the 6-D transpose to a worse copy than the
+        # gathers. Kept in slice+concat form (matches reference
+        # swin_transformer_mtlora.py:451-455 channel order).
         x = x.reshape(*lead, H, W, C)
         x0 = x[..., 0::2, 0::2, :]
         x1 = x[..., 1::2, 0::2, :]
@@ -331,6 +357,7 @@ class BasicLayer(nn.Module):
     use_remat: bool = False
     use_pallas: bool = False
     use_pallas_gemm: bool = False
+    use_pallas_adapter: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -353,6 +380,7 @@ class BasicLayer(nn.Module):
                 attn_drop=self.attn_drop, drop_path=self.drop_path[i],
                 use_pallas=self.use_pallas,
                 use_pallas_gemm=self.use_pallas_gemm,
+                use_pallas_adapter=self.use_pallas_adapter,
                 dtype=self.dtype, name=f"blocks_{i}")
             x, t = blk(x, deterministic)
             if t is not None:
@@ -424,6 +452,7 @@ class SwinTransformerMTLoRA(nn.Module):
     use_remat: bool = False
     use_pallas: bool = False
     use_pallas_gemm: bool = False
+    use_pallas_adapter: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @property
@@ -483,6 +512,7 @@ class SwinTransformerMTLoRA(nn.Module):
                 has_downsample=(i < self.num_layers - 1),
                 use_remat=self.use_remat, use_pallas=self.use_pallas,
                 use_pallas_gemm=self.use_pallas_gemm,
+                use_pallas_adapter=self.use_pallas_adapter,
                 dtype=self.dtype, name=f"layers_{i}")
             x, tasks = layer(x, deterministic=deterministic)
             if tasks is None and T > 0:

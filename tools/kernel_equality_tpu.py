@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""On-device (compiled Mosaic) kernel equality tests at FLAGSHIP shapes.
+
+The CPU test suite runs Pallas in interpret mode at toy shapes
+(ws=4, C<=64); interpret mode does not validate the compiled Mosaic
+lowering at 49-token windows / 24 heads / C=768, nor the VMEM-cap group
+logic. This script runs on the real TPU and asserts:
+
+  1. fused_window_attention == pure-jnp window_attention path, fwd AND
+     grads, at every flagship stage shape (ws=7, C in {96..768}, nH in
+     {3..24}), with and without shift mask, bf16 and fp32.
+  2. fused_adapter_mid == jnp reference, fwd AND grads, at the flagship
+     MLP-tail shapes (r=4, H4 in {384..3072}).
+
+Test pattern mirrors the reference CUDA kernel unit test
+(kernels/window_process/unit_test.py:133-241): fused vs naive
+composition, both directions, both dtypes. Run:
+    python tools/kernel_equality_tpu.py
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mtlora_tpu.ops.attention import (  # noqa: E402
+    relative_position_index,
+    shift_attention_mask,
+    window_attention,
+)
+from mtlora_tpu.ops.pallas_adapter_mlp import (  # noqa: E402
+    adapter_mid_reference,
+    fused_adapter_mid,
+)
+from mtlora_tpu.ops.pallas_window_attn import (  # noqa: E402
+    fused_window_attention,
+)
+from mtlora_tpu.ops.window import (  # noqa: E402
+    shift_window_partition,
+    window_merge_unshift,
+)
+
+FAILURES = []
+
+
+def check(name, got, want, tol):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    scale = max(np.abs(want).max(), 1e-6)
+    rel = np.abs(got - want).max() / scale
+    status = "ok" if rel < tol else "FAIL"
+    print(f"  {name}: rel err {rel:.2e} (tol {tol:.0e}) {status}",
+          flush=True)
+    if rel >= tol:
+        FAILURES.append(name)
+
+
+def jnp_attention(qkv_map, num_heads, rel_bias, ws, shift, mask, B, H, W,
+                  C):
+    qkv_w = shift_window_partition(qkv_map, ws, shift).reshape(
+        -1, ws * ws, 3 * C)
+    out = window_attention(qkv_w, num_heads, rel_bias, mask)
+    return window_merge_unshift(out.reshape(-1, ws, ws, C), ws, shift,
+                                H, W, (B,))
+
+
+def test_window_attention():
+    ws, B = 7, 2
+    # flagship stage shapes at 448: (C, nH, H=W)
+    for (C, nH, H) in [(96, 3, 112), (192, 6, 56), (384, 12, 28),
+                       (768, 24, 14)]:
+        for dt, tol_f, tol_g in ((jnp.float32, 2e-5, 2e-4),
+                                 (jnp.bfloat16, 2e-2, 3e-2)):
+            for shift in (0, ws // 2):
+                r = np.random.RandomState(C + shift)
+                qkv = jnp.asarray(r.randn(B, H, W, 3 * C) * 0.5, dt)
+                bias = jnp.asarray(r.randn(nH, ws * ws, ws * ws) * 0.2,
+                                   jnp.float32)
+                mask = (jnp.asarray(shift_attention_mask(H, W, ws, shift))
+                        if shift else None)
+                name = f"win_attn C={C} nH={nH} {dt.__name__} shift={shift}"
+
+                fk = jax.jit(lambda q, b: fused_window_attention(
+                    q, nH, b, ws, shift, mask))
+                fr = jax.jit(lambda q, b: jnp_attention(
+                    q, nH, b, ws, shift, mask, B, H, W, C))
+                check(name + " fwd", fk(qkv, bias), fr(qkv, bias), tol_f)
+
+                def loss(f):
+                    return lambda q, b: jnp.mean(
+                        f(q, b).astype(jnp.float32) ** 2)
+                gk = jax.jit(jax.grad(loss(
+                    lambda q, b: fused_window_attention(
+                        q, nH, b, ws, shift, mask)), argnums=(0, 1)))(
+                    qkv, bias)
+                gr = jax.jit(jax.grad(loss(
+                    lambda q, b: jnp_attention(
+                        q, nH, b, ws, shift, mask, B, H, W, C)),
+                    argnums=(0, 1)))(qkv, bias)
+                check(name + " dqkv", gk[0], gr[0], tol_g)
+                check(name + " dbias", gk[1], gr[1], tol_g)
+
+
+def test_adapter_mid():
+    T, rk = 4, 4
+    B = 2
+    # flagship MLP-tail shapes (M = B*L at 448, batch folded down to 2)
+    for (L, H4) in [(12544, 384), (3136, 768), (784, 1536), (196, 3072)]:
+        M = B * L
+        for dt, tol_f, tol_g in ((jnp.float32, 2e-5, 2e-4),
+                                 (jnp.bfloat16, 2e-2, 3e-2)):
+            r = np.random.RandomState(H4)
+            mid1T = jnp.asarray(r.randn(T, rk, M), dt)
+            p1 = jnp.asarray(r.randn(M, H4), dt)
+            b1 = jnp.asarray(r.randn(T, rk, H4) * 0.1, dt)
+            a2T = jnp.asarray(r.randn(T, rk, H4) * 0.1, dt)
+            scales = (4.0,) * T
+            name = f"adapter_mid H4={H4} {dt.__name__}"
+            fk = jax.jit(lambda *a: fused_adapter_mid(*a, scales, False))
+            fr = jax.jit(lambda *a: adapter_mid_reference(*a, scales))
+            check(name + " fwd", fk(mid1T, p1, b1, a2T),
+                  fr(mid1T, p1, b1, a2T), tol_f)
+
+            def loss(f):
+                return lambda *a: jnp.mean(f(*a).astype(jnp.float32) ** 2)
+            gk = jax.jit(jax.grad(
+                loss(lambda *a: fused_adapter_mid(*a, scales, False)),
+                argnums=(0, 1, 2, 3)))(mid1T, p1, b1, a2T)
+            gr = jax.jit(jax.grad(
+                loss(lambda *a: adapter_mid_reference(*a, scales)),
+                argnums=(0, 1, 2, 3)))(mid1T, p1, b1, a2T)
+            for nm, k, rf in zip(("dmid1T", "dp1", "db1", "da2T"), gk, gr):
+                check(f"{name} {nm}", k, rf, tol_g)
+
+
+if __name__ == "__main__":
+    plat = jax.devices()[0].platform
+    print(f"platform: {plat}")
+    if plat == "cpu":
+        print("WARNING: running on CPU — compiled-Mosaic coverage requires "
+              "a TPU device")
+    test_window_attention()
+    test_adapter_mid()
+    if FAILURES:
+        print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
+        sys.exit(1)
+    print("\nall on-device kernel equality checks passed")
