@@ -301,6 +301,17 @@ def main_classification(args, config):
                                         flatten_ft=True))(
         jax.random.PRNGKey(config.SEED),
         jnp.zeros((2, img, img, 3), jnp.float32))
+    if config.MODEL.PRETRAINED:
+        # pretrained surgery incl. 22K->1K head remap (utils.py:179-277)
+        from mtlora_tpu.ckpt.torch_convert import (
+            load_torch_checkpoint, merge_converted, strip_backbone_prefix)
+        conv = strip_backbone_prefix(load_torch_checkpoint(
+            config.MODEL.PRETRAINED,
+            target_window_size=config.MODEL.SWIN.WINDOW_SIZE,
+            target_num_patches=(img // 4) ** 2,
+            num_classes=int(config.MODEL.NUM_CLASSES), verbose=True))
+        v = merge_converted(v, conv)
+        logger.info(f"loaded pretrained {config.MODEL.PRETRAINED}")
     tx = build_optimizer(config, v["params"], len(loader_train),
                          world_size=mesh.devices.size)
     state = replicate_tree(

@@ -24,6 +24,7 @@ Works for three checkpoint families:
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -66,10 +67,13 @@ _SKIP_PATTERNS = (
     re.compile(r"\battn_mask$"),
     re.compile(r"relative_position_index$"),
     re.compile(r"num_batches_tracked$"),
-    re.compile(r"^head\."),          # classification head (MTL drops it;
-                                     # config.py:412 -> Identity)
     re.compile(r"\bavgpool"),
 )
+
+# vendored reference data/map22kto1k.txt (1000 IN-22K class indices)
+DEFAULT_MAP22K = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "data",
+    "map22kto1k.txt")
 
 
 def _set(tree: Dict, path: Tuple[str, ...], value):
@@ -86,6 +90,8 @@ def convert_torch_state_dict(
     target_window_size: Optional[int] = None,
     target_num_patches: Optional[int] = None,
     skip_decoder: bool = False,
+    num_classes: int = 0,
+    map22k_path: str = DEFAULT_MAP22K,
     verbose: bool = False,
 ) -> Dict[str, Dict]:
     """Convert a torch state_dict to flax ``{"params":..., "batch_stats":...}``.
@@ -106,12 +112,20 @@ def convert_torch_state_dict(
                        for k in sd)
 
     add_prefix = is_backbone_only(state_dict)
+    head_raw: Dict[str, np.ndarray] = {}
 
     for key, raw in state_dict.items():
         val = _t(raw)
         if any(p.search(key) for p in _SKIP_PATTERNS):
             continue
         k = ("backbone." + key) if add_prefix else key
+        if re.search(r"(^|\.)head\.(weight|bias)$", k):
+            # classification head: dropped in MTL mode (reference
+            # config.py:412 -> Identity head); kept/remapped/zeroed for
+            # classification per utils.py:250-269
+            if num_classes > 0:
+                head_raw[k.rsplit(".", 1)[-1]] = val
+            continue
         if skip_decoder and (k.startswith("decoders.")
                              or k.startswith("downsampler.")):
             continue
@@ -151,6 +165,28 @@ def convert_torch_state_dict(
                 target_num_patches is not None:
             value = resize_abs_pos_embed(value, target_num_patches)
         _set(params, out_path, jnp.asarray(value))
+
+    if num_classes > 0 and "weight" in head_raw:
+        # head surgery (reference utils.py:250-269): keep on class-count
+        # match; select 1K rows via map22kto1k on a 22K head; otherwise
+        # re-init to zero (the reference's constant_(0.) fallback)
+        w, b = head_raw["weight"], head_raw.get("bias")
+        nc_ckpt = w.shape[0]
+        if nc_ckpt == num_classes:
+            kernel, bias = w.T, b
+        elif nc_ckpt == 21841 and num_classes == 1000:
+            with open(map22k_path) as f:
+                idx = [int(line.strip()) for line in f if line.strip()]
+            kernel, bias = w[idx].T, (b[idx] if b is not None else None)
+        else:
+            kernel = np.zeros((w.shape[1], num_classes), w.dtype)
+            bias = np.zeros((num_classes,), w.dtype)
+            if verbose:
+                print(f"[torch_convert] head {nc_ckpt} != {num_classes}: "
+                      "re-initialized to zero (utils.py:264-269)")
+        _set(params, ("backbone", "head", "kernel"), jnp.asarray(kernel))
+        if bias is not None:
+            _set(params, ("backbone", "head", "bias"), jnp.asarray(bias))
 
     # assemble task stacks (pad ranks to max, matching MTLoRALinear layout)
     for prefix, stack in task_stacks.items():
@@ -350,6 +386,14 @@ def merge_converted(variables, converted, *, strict: bool = False,
     if strict and (missing or unexpected):
         raise ValueError(f"missing={missing}, unexpected={unexpected}")
     return flax.traverse_util.unflatten_dict(merged)
+
+
+def strip_backbone_prefix(converted: Dict[str, Dict]) -> Dict[str, Dict]:
+    """Re-root converted trees at the ``backbone`` subtree for bare-backbone
+    models (classification mode builds the backbone directly, so its param
+    tree has no ``backbone`` wrapper)."""
+    return {col: tree.get("backbone", tree)
+            for col, tree in converted.items()}
 
 
 def load_torch_checkpoint(path: str, tasks=(), **kw):

@@ -84,6 +84,57 @@ def test_window_size_retarget():
     assert tbl.shape == (13 * 13, 2)
 
 
+def test_22k_head_remap_end_to_end():
+    """Fabricated 21841-class head through convert_torch_state_dict with
+    the vendored map file (reference utils.py:250-263 +
+    data/map22kto1k.txt)."""
+    from mtlora_tpu.ckpt.torch_convert import DEFAULT_MAP22K
+
+    r = np.random.RandomState(3)
+    sd = _tiny_sd()
+    sd["head.weight"] = r.randn(21841, 24).astype(np.float32)
+    sd["head.bias"] = r.randn(21841).astype(np.float32)
+    conv = convert_torch_state_dict(sd, [], num_classes=1000)
+    head = conv["params"]["backbone"]["head"]
+    assert head["kernel"].shape == (24, 1000)
+    assert head["bias"].shape == (1000,)
+    with open(DEFAULT_MAP22K) as f:
+        idx = [int(line.strip()) for line in f if line.strip()]
+    assert len(idx) == 1000
+    np.testing.assert_array_equal(np.asarray(head["kernel"]),
+                                  sd["head.weight"][idx].T)
+    np.testing.assert_array_equal(np.asarray(head["bias"]),
+                                  sd["head.bias"][idx])
+
+
+def test_head_kept_zeroed_or_dropped():
+    sd = _tiny_sd()
+    sd["head.bias"] = np.arange(10, dtype=np.float32)
+    # matching class count: transposed through
+    conv = convert_torch_state_dict(sd, [], num_classes=10)
+    head = conv["params"]["backbone"]["head"]
+    np.testing.assert_array_equal(np.asarray(head["kernel"]),
+                                  sd["head.weight"].T)
+    # mismatch (not the 22K case): zero re-init (utils.py:264-269)
+    conv = convert_torch_state_dict(sd, [], num_classes=5)
+    head = conv["params"]["backbone"]["head"]
+    assert head["kernel"].shape == (24, 5)
+    np.testing.assert_array_equal(np.asarray(head["kernel"]), 0)
+    # MTL mode (num_classes=0): dropped entirely
+    conv = convert_torch_state_dict(sd, [])
+    assert "head" not in conv["params"].get("backbone", {})
+
+
+def test_strip_backbone_prefix():
+    from mtlora_tpu.ckpt.torch_convert import strip_backbone_prefix
+
+    conv = convert_torch_state_dict(_tiny_sd(), [], num_classes=10)
+    bare = strip_backbone_prefix(conv)
+    assert "patch_embed" in bare["params"]
+    assert "head" in bare["params"]
+    assert "backbone" not in bare["params"]
+
+
 def test_skip_decoder():
     sd = _tiny_sd()
     sd = {"backbone." + k: v for k, v in sd.items()}

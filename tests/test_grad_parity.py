@@ -30,6 +30,36 @@ pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="reference repo not mounted")
 
 
+def to_jax_grad_path(torch_name, torch_grad, tasks):
+    """Map a torch trainable-param grad to the jax grad-tree leaf path
+    (appends the task index for stacked per-task adapters)."""
+    parts = torch_name.split(".")
+    path = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p in ("layers", "blocks") and parts[i + 1].isdigit():
+            path.append(f"{p}_{parts[i + 1]}")
+            i += 2
+        else:
+            path.append(p)
+            i += 1
+    leaf = path[-1]
+    if leaf in ("weight",) and path[-2].startswith("norm"):
+        return tuple(path[:-1] + ["scale"]), torch_grad
+    if leaf == "weight" and torch_grad.ndim == 2:
+        return tuple(path[:-1] + ["kernel"]), torch_grad.T
+    if leaf == "weight" and torch_grad.ndim == 4:
+        return tuple(path[:-1] + ["kernel"]), \
+            torch_grad.transpose(2, 3, 1, 0)
+    if leaf in ("lora_shared_A", "lora_shared_B"):
+        return tuple(path), torch_grad.T
+    if path[-2] in ("lora_tasks_A", "lora_tasks_B"):
+        ti = list(tasks).index(path[-1])
+        return tuple(path[:-1]) + (ti,), torch_grad.T
+    return tuple(path), torch_grad
+
+
 def test_trainable_grad_parity():
     import torch
     import jax
@@ -105,38 +135,10 @@ def test_trainable_grad_parity():
     jax_grads = flax.traverse_util.flatten_dict(
         jax.jit(jax.grad(loss_fn))(variables["params"]))
 
-    def to_jax_grad(torch_name, torch_grad):
-        """Map a torch trainable-param grad to the jax grad leaf."""
-        parts = torch_name.split(".")
-        path = []
-        i = 0
-        while i < len(parts):
-            p = parts[i]
-            if p in ("layers", "blocks") and parts[i + 1].isdigit():
-                path.append(f"{p}_{parts[i + 1]}")
-                i += 2
-            else:
-                path.append(p)
-                i += 1
-        leaf = path[-1]
-        if leaf in ("weight",) and path[-2].startswith("norm"):
-            return tuple(path[:-1] + ["scale"]), torch_grad
-        if leaf == "weight" and torch_grad.ndim == 2:
-            return tuple(path[:-1] + ["kernel"]), torch_grad.T
-        if leaf == "weight" and torch_grad.ndim == 4:
-            return tuple(path[:-1] + ["kernel"]), \
-                torch_grad.transpose(2, 3, 1, 0)
-        if leaf in ("lora_shared_A", "lora_shared_B"):
-            return tuple(path), torch_grad.T
-        if path[-2] in ("lora_tasks_A", "lora_tasks_B"):
-            ti = TASKS4.index(path[-1])
-            return tuple(path[:-1]) + (ti,), torch_grad.T
-        return tuple(path), torch_grad
-
     checked = 0
     worst = 0.0
     for name, tg in ref_grads.items():
-        path, tgm = to_jax_grad(name, tg)
+        path, tgm = to_jax_grad_path(name, tg, TASKS4)
         task_idx = None
         if isinstance(path[-1], int):
             task_idx = path[-1]
