@@ -297,11 +297,50 @@ class SwinBlock(nn.Module):
         return x, attn_tasks + dp(mlp_tasks, deterministic=deterministic)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder matching nn.LayerNorm's param layout (used by the
+    folded PatchMerging path so checkpoint paths stay identical)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones,
+                           (self.dim,), jnp.float32),
+                self.param("bias", nn.initializers.zeros,
+                           (self.dim,), jnp.float32))
+
+
+class _KernelParam(nn.Module):
+    """Parameter holder matching MTLoRALinear's frozen kernel layout."""
+    shape: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.truncated_normal(0.02, lower=-2,
+                                                       upper=2),
+            self.shape, jnp.float32)
+
+
 class PatchMerging(nn.Module):
     """2x2 patch merge + linear reduction (reference PatchMerging:429-472).
 
     Pure single-stream function; BasicLayer batches shared + task streams
     through it in one call.
+
+    TPU fast path (no reduction adapters — the default; DOWNSAMPLER LoRA
+    off): the 4-slice concat, the LayerNorm, and the 4C->2C reduction
+    GEMM are algebraically folded so neither the concatenated [.., 4C]
+    tensor nor its fp32 LayerNorm output is ever materialized:
+
+        LN(cat) @ W = (cat @ (gamma (.) W)) * rsqrt(var+eps)
+                      - mu * rsqrt(var+eps) * (gamma @ W) + beta @ W
+
+    with mu/var reduced straight off the un-concatenated 6-D view.
+    Measured on v5e at stage-0 shapes (5 streams, batch 32): fwd+bwd
+    23.8 -> 12.0 ms. (A reshape/transpose space-to-depth was also tried
+    and measured SLOWER than the strided slices; both superseded by this
+    folding.) Parameter paths/init match the module form exactly.
     """
     input_resolution: Tuple[int, int]
     dim: int
@@ -316,11 +355,10 @@ class PatchMerging(nn.Module):
         H, W = self.input_resolution
         *lead, L, C = x.shape
         assert L == H * W and H % 2 == 0 and W % 2 == 0
-        # NOTE: a reshape/transpose space-to-depth was measured SLOWER on
-        # v5e than these strided slices (downsample bucket 35 -> 53
-        # ms/step): XLA lowers the 6-D transpose to a worse copy than the
-        # gathers. Kept in slice+concat form (matches reference
-        # swin_transformer_mtlora.py:451-455 channel order).
+
+        if self.spec.r_shared == 0:
+            return self._folded(x, H, W, C, lead)
+
         x = x.reshape(*lead, H, W, C)
         x0 = x[..., 0::2, 0::2, :]
         x1 = x[..., 1::2, 0::2, :]
@@ -336,6 +374,39 @@ class PatchMerging(nn.Module):
                             dtype=self.dtype,
                             name="reduction")(x, deterministic=deterministic)
         return x
+
+    def _folded(self, x, H, W, C, lead):
+        gamma, beta = _LNParams(4 * C, name="norm")()
+        kernel = _KernelParam((4 * C, 2 * C), name="reduction")()
+        if self.freeze_pretrained:
+            kernel = jax.lax.stop_gradient(kernel)
+        dtype = self.dtype or x.dtype
+        # 6-D view: [.., H/2, ho, W/2, wo, C]; concat block j = 2*wo + ho
+        # (reference swin_transformer_mtlora.py:451-455 channel order)
+        xr = x.reshape(*lead, H // 2, 2, W // 2, 2, C).astype(dtype)
+
+        # remat: without this, autodiff saves the fp32 CAST of xr as the
+        # residual for the sum-of-squares backward — a full-size fp32
+        # copy (771 MB at stage 0) that defeats the folding; recomputing
+        # the cast in backward is free (fuses into the reductions)
+        @jax.checkpoint
+        def _stats(xr):
+            f = xr.astype(jnp.float32)
+            n = 4 * C
+            mu = f.sum(axis=(-4, -2, -1)) / n        # [.., H/2, W/2]
+            var = (f * f).sum(axis=(-4, -2, -1)) / n - mu * mu
+            return mu, var
+
+        mu, var = _stats(xr)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        wg = (gamma[:, None] * kernel).reshape(2, 2, C, 2 * C)  # [wo,ho,c,o]
+        a = jnp.einsum("...piqjc,jico->...pqo", xr, wg.astype(dtype),
+                       preferred_element_type=jnp.float32)
+        v = gamma @ kernel                           # [2C]
+        w = beta @ kernel                            # [2C]
+        out = (a - mu[..., None] * v) * inv[..., None] + w
+        return out.reshape(*lead, (H // 2) * (W // 2),
+                           2 * C).astype(dtype)
 
 
 class BasicLayer(nn.Module):

@@ -49,24 +49,31 @@ _INV_SQRT_2PI = 0.3989422804014327
 def _erf(x):
     """erf from Mosaic-supported primitives (the erf primitive has no
     Pallas TPU lowering): Abramowitz & Stegun 7.1.26 rational
-    approximation, max abs error 1.5e-7 — fp32-grade."""
+    approximation, max abs error 1.5e-7 — fp32-grade. The divide uses
+    the VPU's approximate reciprocal refined by one Newton step
+    (doubles the mantissa accuracy back to ~fp32; the full divide was
+    measured ~20% of the whole forward kernel)."""
     s = jnp.sign(x)
     a = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * a)
+    w = 1.0 + 0.3275911 * a
+    try:
+        t = pl.reciprocal(w, approx=True)
+        t = t * (2.0 - w * t)  # Newton refinement
+    except Exception:  # pragma: no cover - non-pallas trace context
+        t = 1.0 / w
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
+def _cdf(z):
+    """Standard normal CDF from _erf."""
+    return 0.5 * (1.0 + _erf(z * _SQRT_HALF))
+
+
 def _gelu(z):
     """Exact-form (erf) gelu, matching jax.nn.gelu(approximate=False)."""
-    return z * 0.5 * (1.0 + _erf(z * _SQRT_HALF))
-
-
-def _dgelu(z):
-    phi = jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI
-    cdf = 0.5 * (1.0 + _erf(z * _SQRT_HALF))
-    return cdf + z * phi
+    return z * _cdf(z)
 
 
 # dot_general dimension numbers (lhs/rhs contraction dims, no batch):
@@ -108,12 +115,14 @@ def _bwd_kernel(mid1_ref, p1_ref, b1_ref, a2_ref, g_ref,
         u = jax.lax.dot_general(mid1_ref[t], b1_ref[t], _DN_00,
                                 preferred_element_type=jnp.float32)
         z = p1 + scales[t] * u
-        h = _gelu(z).astype(cdt)
+        cdf = _cdf(z)  # shared between h and dgelu (one erf per element)
+        h = (z * cdf).astype(cdt)
         g = g_ref[t]  # [r2, Mb]
         # dh [Mb, H4] = g^T @ A2T_t  (contract r2)
         dh = jax.lax.dot_general(g, a2_ref[t], _DN_00,
                                  preferred_element_type=jnp.float32)
-        dz = (dh * _dgelu(z)).astype(cdt)
+        dgelu = cdf + z * (jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI)
+        dz = (dh * dgelu).astype(cdt)
         dp1 = dp1 + dz
         # dmid1_t [r1, Mb] = s * B1_t @ dz^T  (contract H4)
         dmid1_ref[t] = (scales[t] * jax.lax.dot_general(

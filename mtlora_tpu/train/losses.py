@@ -125,8 +125,16 @@ def multi_task_loss(preds: Dict[str, jnp.ndarray],
                     tasks,
                     loss_weights: Optional[Dict[str, float]] = None,
                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Weighted sum of per-task losses (MultiTaskLoss:223-238)."""
+    """Weighted sum of per-task losses (MultiTaskLoss:223-238).
+
+    Each per-task loss is rematerialized (jax.checkpoint): the losses
+    cast full-resolution logits to fp32, and without remat autodiff
+    saves those fp32 casts as backward residuals (539 MB for semseg at
+    448/batch 32). Recomputing the elementwise loss forward in the
+    backward pass saves ~1 GB of fp32 residual traffic per step.
+    """
     weights = loss_weights or LOSS_WEIGHTS
-    per_task = {t: get_task_loss(t)(preds[t], targets[t]) for t in tasks}
+    per_task = {t: jax.checkpoint(get_task_loss(t))(preds[t], targets[t])
+                for t in tasks}
     total = sum(weights[t] * per_task[t] for t in tasks)
     return total, per_task
