@@ -201,7 +201,16 @@ class MTLoRALinear(nn.Module):
 
         dtype = self.dtype or x.dtype
         xc = x.astype(dtype)
-        pretrained = xc @ kernel.astype(dtype)
+        # Flatten leading (batch/token) dims for every GEMM in this
+        # module: with [B, L, C] operands the adapter backward dA =
+        # x^T dmid has TWO contracting dims and XLA:TPU lowers it as a
+        # size-B windowed convolution (rhs_reversal, pad B-1) — measured
+        # ~3x the FLOPs and a third of the bandwidth of the equivalent
+        # flat GEMM. Leading-dim reshapes are free (bitcasts).
+        lead = xc.shape[:-1]
+        x2 = xc.reshape(-1, self.in_features)
+        pretrained = (x2 @ kernel.astype(dtype)).reshape(
+            lead + (self.out_features,))
         if bias is not None:
             pretrained = pretrained + bias.astype(dtype)
 
@@ -256,8 +265,10 @@ class MTLoRALinear(nn.Module):
                 if bias is not None:
                     y = y + bias.astype(dtype)
                 return y, None
-            shared_update = ((x_drop @ A_s.astype(dtype))
-                             @ B_s.astype(dtype)) * s_s
+            xd2 = x_drop.reshape(-1, self.in_features)
+            shared_update = (((xd2 @ A_s.astype(dtype))
+                              @ B_s.astype(dtype)) * s_s).reshape(
+                lead + (self.out_features,))
 
         # ---- per-task branch ---------------------------------------------
         y_tasks = None
@@ -284,11 +295,16 @@ class MTLoRALinear(nn.Module):
                 # emit rank-space task output; consumer runs the fused
                 # kernel (requires static scales + 'matrix' mode)
                 assert mode == "matrix" and not spec.trainable_scale_per_task
-                xt = (x_drop[None] if x_tasks is None
-                      else x_tasks.astype(dtype))
-                xt2 = jnp.broadcast_to(
-                    xt, (T,) + xt.shape[1:]).reshape(T, -1, self.in_features)
-                mid1T = jnp.einsum("tmi,tir->trm", xt2, A_t.astype(dtype))
+                if x_tasks is None:
+                    mid1T = jnp.einsum(
+                        "mi,tir->trm",
+                        x_drop.reshape(-1, self.in_features),
+                        A_t.astype(dtype))
+                else:
+                    xt2 = x_tasks.astype(dtype).reshape(
+                        T, -1, self.in_features)
+                    mid1T = jnp.einsum("tmi,tir->trm", xt2,
+                                       A_t.astype(dtype))
                 return (pretrained + shared_update
                         if shared_update is not None else pretrained), \
                     FactoredTasks(pretrained=pretrained, midT=mid1T,
@@ -312,12 +328,24 @@ class MTLoRALinear(nn.Module):
                                          B_t.astype(dtype))
                 task_update = task_update.reshape((T,) + pretrained.shape)
             else:
-                xt = (x_drop[None] if x_tasks is None
-                      else x_tasks.astype(dtype))
-                # ONE batched-over-tasks low-rank update
-                mid = jnp.einsum("t...i,tir->t...r", xt, A_t.astype(dtype))
-                task_update = jnp.einsum("t...r,tro->t...o", mid,
-                                         B_t.astype(dtype))
+                # ONE batched-over-tasks low-rank update, tokens
+                # flattened (see the dA-as-convolution note above);
+                # shared-input layers (x_tasks None, e.g. attn proj)
+                # contract the single stream against all T adapters in
+                # one GEMM instead of broadcasting T input copies
+                if x_tasks is None:
+                    mid = jnp.einsum(
+                        "mi,tir->tmr",
+                        x_drop.reshape(-1, self.in_features),
+                        A_t.astype(dtype))
+                else:
+                    xt2 = x_tasks.astype(dtype).reshape(
+                        T, -1, self.in_features)
+                    mid = jnp.einsum("tmi,tir->tmr", xt2,
+                                     A_t.astype(dtype))
+                task_update = jnp.einsum("tmr,tro->tmo", mid,
+                                         B_t.astype(dtype)).reshape(
+                    (T,) + lead + (self.out_features,))
             task_update = task_update * s_t.reshape(
                 (T,) + (1,) * (task_update.ndim - 1))
             if mode == "matrixv2" and shared_update is not None:

@@ -52,10 +52,14 @@ class PerTaskDownsampler(nn.Module):
                                                      "uniform"),
                     (self.num_tasks, self.dims[i], self.channels[i]),
                     jnp.float32)
-                f = jnp.einsum("tbhwc,tco->tbhwo", f,
-                               k.astype(f.dtype),
+                # tokens flattened: a [T,B,H,W,C] einsum gives the dW
+                # backward 3 contracting dims, which XLA:TPU lowers as a
+                # windowed convolution (see models/lora.py note)
+                f2 = f.reshape(T, B * r * r, C)
+                f = jnp.einsum("tmc,tco->tmo", f2, k.astype(f.dtype),
                                preferred_element_type=jnp.float32
-                               ).astype(f.dtype)
+                               ).astype(f.dtype).reshape(
+                    T, B, r, r, self.channels[i])
             outs.append(f)
         return outs
 
