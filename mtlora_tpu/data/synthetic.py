@@ -15,23 +15,70 @@ from mtlora_tpu.data.task_config import get_tasks_config
 
 
 class SyntheticMTL:
+    """``structured=False`` (default): per-pixel random labels — right
+    shapes/sentinels for pipeline smoke tests, but unlearnable.
+    ``structured=True``: smooth random images with labels DERIVED from
+    image content (class = quantized intensity, normals from intensity
+    gradients, saliency/edge thresholds) — geometric augmentations warp
+    image and labels consistently, so the mapping is learnable and
+    convergence benchmarks are meaningful (tools/overfit_tpu.py)."""
+
     def __init__(self, tasks: Sequence[str], img_size: int = 448,
                  length: int = 64, db_name: str = "PASCALContext",
-                 seed: int = 0, transform=None):
+                 seed: int = 0, transform=None, structured: bool = False):
         self.tasks = list(tasks)
         self.img_size = img_size
         self.length = length
         self.seed = seed
         self.transform = transform
+        self.structured = structured
         cfg, _ = get_tasks_config(db_name, self.tasks, img_size)
         self.num_output = cfg["NUM_OUTPUT"]
 
     def __len__(self):
         return self.length
 
+    def _structured_sample(self, r, s) -> Dict:
+        import cv2
+
+        base = r.rand(8, 8, 3).astype(np.float32)
+        img = cv2.resize(base, (s, s), interpolation=cv2.INTER_CUBIC)
+        img = np.clip(img, 0.0, 1.0)
+        gray = img.mean(-1)
+        sample: Dict = {"image": (img * 255.0).astype(float)}
+        gy, gx = np.gradient(gray)
+        for t in self.tasks:
+            if t in ("semseg", "human_parts"):
+                k = self.num_output[t]
+                lab = np.clip((gray * k).astype(int), 0, k - 1).astype(float)
+                lab[: s // 8] = 255.0
+                sample[t] = lab
+            elif t == "normals":
+                n = np.stack([gx * 40.0, gy * 40.0,
+                              np.full_like(gray, 0.5)], axis=-1)
+                n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12
+                sample[t] = n
+            elif t == "sal":
+                sample[t] = (gray > 0.55).astype(float)
+            elif t == "edge":
+                mag = np.abs(gx) + np.abs(gy)
+                sample[t] = (mag > np.percentile(mag, 85)).astype(float)
+            elif t == "depth":
+                d = gray * 10.0 + 0.5
+                d[: s // 8] = 255.0
+                sample[t] = d
+        return sample
+
     def __getitem__(self, index: int) -> Dict:
         r = np.random.RandomState(self.seed * 100003 + index)
         s = self.img_size
+        if self.structured:
+            sample = self._structured_sample(r, s)
+            sample["meta"] = {"image": f"synthetic_{index}",
+                              "im_size": (s, s)}
+            if self.transform is not None:
+                sample = self.transform(sample)
+            return sample
         sample: Dict = {
             "image": r.randint(0, 256, (s, s, 3)).astype(float)}
         for t in self.tasks:

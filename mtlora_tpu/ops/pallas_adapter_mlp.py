@@ -76,11 +76,16 @@ def _gelu(z):
     return z * _cdf(z)
 
 
+def _prec(dtype):
+    # fp32 operands: force multi-pass fp32 MXU (Mosaic defaults to one
+    # bf16 pass); bf16 inputs keep the fast path
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
+
+
 # dot_general dimension numbers (lhs/rhs contraction dims, no batch):
 _DN_00 = (((0,), (0,)), ((), ()))
 _DN_11 = (((1,), (1,)), ((), ()))
 _DN_10 = (((1,), (0,)), ((), ()))
-_DN_01 = (((0,), (1,)), ((), ()))
 
 
 def _fwd_kernel(mid1_ref, p1_ref, b1_ref, a2_ref, out_ref, *, scales):
@@ -90,12 +95,14 @@ def _fwd_kernel(mid1_ref, p1_ref, b1_ref, a2_ref, out_ref, *, scales):
     for t in range(T):
         # u [Mb, H4] = mid1_t^T @ B1_t   (contract rank dim)
         u = jax.lax.dot_general(mid1_ref[t], b1_ref[t], _DN_00,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+            precision=_prec(cdt))
         h = _gelu(p1 + scales[t] * u)
         # mid2_t [r2, Mb] = A2T_t @ h^T  (contract H4)
         out_ref[t] = jax.lax.dot_general(
             a2_ref[t], h.astype(cdt), _DN_11,
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=_prec(cdt)).astype(out_ref.dtype)
 
 
 def _bwd_kernel(mid1_ref, p1_ref, b1_ref, a2_ref, g_ref,
@@ -113,43 +120,75 @@ def _bwd_kernel(mid1_ref, p1_ref, b1_ref, a2_ref, g_ref,
     dp1 = jnp.zeros_like(p1)
     for t in range(T):
         u = jax.lax.dot_general(mid1_ref[t], b1_ref[t], _DN_00,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+            precision=_prec(cdt))
         z = p1 + scales[t] * u
         cdf = _cdf(z)  # shared between h and dgelu (one erf per element)
         h = (z * cdf).astype(cdt)
         g = g_ref[t]  # [r2, Mb]
         # dh [Mb, H4] = g^T @ A2T_t  (contract r2)
         dh = jax.lax.dot_general(g, a2_ref[t], _DN_00,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+            precision=_prec(cdt))
         dgelu = cdf + z * (jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI)
         dz = (dh * dgelu).astype(cdt)
         dp1 = dp1 + dz
         # dmid1_t [r1, Mb] = s * B1_t @ dz^T  (contract H4)
         dmid1_ref[t] = (scales[t] * jax.lax.dot_general(
             b1_ref[t], dz, _DN_11,
-            preferred_element_type=jnp.float32)).astype(dmid1_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=_prec(cdt))).astype(dmid1_ref.dtype)
         # dB1_t [r1, H4] += s * mid1_t @ dz  (contract Mb)
         db1_ref[t] += scales[t] * jax.lax.dot_general(
-            mid1_ref[t], dz, _DN_10, preferred_element_type=jnp.float32)
+            mid1_ref[t], dz, _DN_10, preferred_element_type=jnp.float32,
+            precision=_prec(cdt))
         # dA2T_t [r2, H4] += g @ h  (contract Mb)
         da2_ref[t] += jax.lax.dot_general(
-            g, h, _DN_10, preferred_element_type=jnp.float32)
+            g, h, _DN_10, preferred_element_type=jnp.float32,
+            precision=_prec(cdt))
     dp1_ref[...] = dp1.astype(dp1_ref.dtype)
 
 
-def _row_block(M: int, H4: int) -> int:
-    """Largest multiple-of-128 power-of-two divisor of M with a ~2 MB fp32
-    [Mb, H4] block. Mosaic requires non-full blocks divisible by (8, 128)
-    on the last two dims; falls back to the full M (single grid cell) for
-    tiny toy shapes."""
-    cap = max(128, (2 << 20) // (4 * H4))
+def _plan(M: int, H4: int):
+    """Choose the token block Mb (and a padded M if needed).
+
+    Mosaic requires non-full blocks to be multiples of 128 on the last
+    dim (mid1T/out blocks put tokens on lanes), so Mb must be a
+    multiple-of-128 divisor of M under a ~2 MB fp32 [Mb, H4] VMEM
+    budget. Small M runs as a single grid cell; otherwise, when M has no
+    suitable divisor (e.g. M = 16*196 at stage 3), the caller pads the
+    token axis to the next multiple of 128 — padded rows contribute
+    zeros through the kernel and are sliced away.
+
+    Returns (Mb, M_padded).
+    """
+    cap = max(128, ((2 << 20) // (4 * H4)) // 128 * 128)
+    if M <= cap:
+        return M, M
     best = None
     d = 128
-    while d <= min(cap, M):
+    while d <= cap:
         if M % d == 0:
             best = d
-        d *= 2
-    return best if best is not None else M
+        d += 128
+    if best is not None:
+        return best, M
+    M2 = -(-M // 128) * 128
+    d, best = 128, 128
+    while d <= cap:
+        if M2 % d == 0:
+            best = d
+        d += 128
+    return best, M2
+
+
+def _pad_tokens(arr, M2: int, axis: int):
+    M = arr.shape[axis]
+    if M == M2:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, M2 - M)
+    return jnp.pad(arr, pad)
 
 
 def _common_specs(T, r1, Mb, H4):
@@ -167,33 +206,39 @@ def _run_fwd(mid1T, p1, b1, a2T, scales, interpret):
     T, r1, M = mid1T.shape
     H4 = p1.shape[-1]
     r2 = a2T.shape[1]
-    Mb = _row_block(M, H4)
+    Mb, M2 = _plan(M, H4)
+    mid1T = _pad_tokens(mid1T, M2, 2)
+    p1 = _pad_tokens(p1, M2, 0)
     kernel = functools.partial(_fwd_kernel, scales=scales)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(M // Mb,),
+        grid=(M2 // Mb,),
         in_specs=_common_specs(T, r1, Mb, H4),
         out_specs=pl.BlockSpec((T, r2, Mb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, r2, M), mid1T.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, r2, M2), mid1T.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(mid1T, p1, b1, a2T)
+    return out[:, :, :M]
 
 
 def _run_bwd(mid1T, p1, b1, a2T, g, scales, interpret):
     T, r1, M = mid1T.shape
     H4 = p1.shape[-1]
     r2 = a2T.shape[1]
-    Mb = _row_block(M, H4)
+    Mb, M2 = _plan(M, H4)
+    mid1T = _pad_tokens(mid1T, M2, 2)
+    p1 = _pad_tokens(p1, M2, 0)
+    g = _pad_tokens(g, M2, 2)  # zero cotangents -> zero contributions
     kernel = functools.partial(_bwd_kernel, scales=scales)
     in_specs = _common_specs(T, r1, Mb, H4)
     in_specs.append(pl.BlockSpec((T, r2, Mb), lambda i: (0, 0, i),
                                  memory_space=pltpu.VMEM))  # g
-    return pl.pallas_call(
+    dmid1T, dp1, db1, da2T = pl.pallas_call(
         kernel,
-        grid=(M // Mb,),
+        grid=(M2 // Mb,),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((T, r1, Mb), lambda i: (0, 0, i),
@@ -206,8 +251,8 @@ def _run_bwd(mid1T, p1, b1, a2T, g, scales, interpret):
                          memory_space=pltpu.VMEM),   # da2T: accumulated
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, r1, M), mid1T.dtype),
-            jax.ShapeDtypeStruct((M, H4), p1.dtype),
+            jax.ShapeDtypeStruct((T, r1, M2), mid1T.dtype),
+            jax.ShapeDtypeStruct((M2, H4), p1.dtype),
             jax.ShapeDtypeStruct((T, r1, H4), jnp.float32),
             jax.ShapeDtypeStruct((T, r2, H4), jnp.float32),
         ),
@@ -215,6 +260,7 @@ def _run_bwd(mid1T, p1, b1, a2T, g, scales, interpret):
             dimension_semantics=("arbitrary",)),  # accumulating outputs
         interpret=interpret,
     )(mid1T, p1, b1, a2T, g)
+    return dmid1T[:, :, :M], dp1[:M], db1, da2T
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -39,6 +39,12 @@ from mtlora_tpu.ops.window import (
     window_merge_unshift,
 )
 
+def _prec(dtype):
+    # fp32 operands: force multi-pass fp32 MXU; Mosaic's default is a
+    # single bf16 pass (~3e-3 rel), fine for bf16 inputs only
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
+
+
 # dot_general dimension numbers (single window-batch dim):
 _DN_QK = (((2,), (2,)), ((0,), (0,)))   # q[.,N,hd] x k[.,N,hd] -> [.,N,N]
 _DN_PV = (((2,), (1,)), ((0,), (0,)))   # p[.,N,N] x v[.,N,hd] -> [.,N,hd]
@@ -50,7 +56,8 @@ def _head_softmax(x, bias, mask, h, *, C, hd, scale):
     q = x[:, :, h * hd:(h + 1) * hd]
     k = x[:, :, C + h * hd:C + (h + 1) * hd]
     s = jax.lax.dot_general(q * scale, k, dimension_numbers=_DN_QK,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_prec(x.dtype))
     s = s + bias[h][None].astype(jnp.float32)
     if mask is not None:
         s = s + mask.astype(jnp.float32)
@@ -70,7 +77,8 @@ def _fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, num_heads,
         v = x[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
         outs.append(jax.lax.dot_general(
             p.astype(v.dtype), v, dimension_numbers=_DN_PV,
-            preferred_element_type=jnp.float32))
+            preferred_element_type=jnp.float32,
+            precision=_prec(v.dtype)))
     o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -92,18 +100,22 @@ def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref,
         do_h = do_w[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
         dvs.append(jax.lax.dot_general(
             p, do_h, dimension_numbers=_DN_T1,
-            preferred_element_type=jnp.float32))
+            preferred_element_type=jnp.float32,
+            precision=_prec(x.dtype)))
         dp = jax.lax.dot_general(
             do_h, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [nW, N, N]
+            preferred_element_type=jnp.float32,
+            precision=_prec(x.dtype))  # [nW, N, N]
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dbs.append(jnp.sum(ds, axis=0))
         dqs.append(jax.lax.dot_general(
             ds, k, dimension_numbers=_DN_PV,
-            preferred_element_type=jnp.float32) * scale)
+            preferred_element_type=jnp.float32,
+            precision=_prec(x.dtype)) * scale)
         dks.append(jax.lax.dot_general(
             ds, q * scale, dimension_numbers=_DN_T1,
-            preferred_element_type=jnp.float32))
+            preferred_element_type=jnp.float32,
+            precision=_prec(x.dtype)))
     dbias_ref[0] = jnp.stack(dbs).astype(dbias_ref.dtype)
     dqkv_ref[...] = jnp.concatenate(
         dqs + dks + dvs, axis=-1).astype(dqkv_ref.dtype)
@@ -137,7 +149,9 @@ def _group_size(nw: int, cap: int) -> int:
 def _run_fwd(qkv_w, bias, mask, num_heads, nw, scale, interpret):
     Btot, N, C3 = qkv_w.shape
     C = C3 // 3
-    G = _group_size(nw, 32)
+    # fp32 runs with HIGHEST-precision (multi-pass) matmuls, which need
+    # extra VMEM scratch — shrink the window group to compensate
+    G = _group_size(nw, 32 if qkv_w.dtype != jnp.float32 else 8)
     n_groups = nw // G
     has_mask = mask is not None
     mask_arg = (mask.reshape(n_groups, G, N, N) if has_mask
@@ -161,7 +175,7 @@ def _run_fwd(qkv_w, bias, mask, num_heads, nw, scale, interpret):
 def _run_bwd(qkv_w, bias, mask, do, num_heads, nw, scale, interpret):
     Btot, N, C3 = qkv_w.shape
     C = C3 // 3
-    G = _group_size(nw, 8)
+    G = _group_size(nw, 8 if qkv_w.dtype != jnp.float32 else 2)
     n_groups = nw // G
     n_cells = Btot // G
     has_mask = mask is not None

@@ -13,7 +13,11 @@ under XLA fusion). Shapes are static; everything is jit-safe.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def window_partition(x: jnp.ndarray, window_size: int) -> jnp.ndarray:
@@ -51,18 +55,58 @@ def window_reverse(windows: jnp.ndarray, window_size: int, H: int, W: int,
     return x.reshape(*x.shape[:n], H, W, C)
 
 
+@functools.lru_cache(maxsize=None)
+def _shift_partition_perm(H: int, W: int, ws: int, shift: int):
+    """Static token permutation combining roll(-shift, -shift) and window
+    partition: out flat windowed index (wi, wj, a, b) -> source flat
+    token index. Returns (perm, inverse_perm) numpy arrays — the same
+    index arithmetic the reference CUDA kernel hardcodes
+    (swin_window_process_kernel.cu:57-64)."""
+    src_h = (np.arange(H) + shift) % H
+    src_w = (np.arange(W) + shift) % W
+    src = src_h[:, None] * W + src_w[None, :]
+    perm = src.reshape(H // ws, ws, W // ws, ws).transpose(
+        0, 2, 1, 3).reshape(-1)
+    return perm, np.argsort(perm)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _permute_tokens(x2, H, W, ws, shift, inverse):
+    """Permutation gather on the token axis (-2); the custom VJP keeps
+    the backward a gather with the inverse permutation instead of the
+    scatter jnp.take's default vjp would emit."""
+    perm, inv = _shift_partition_perm(H, W, ws, shift)
+    return jnp.take(x2, jnp.asarray(inv if inverse else perm), axis=-2)
+
+
+def _permute_fwd(x2, H, W, ws, shift, inverse):
+    return _permute_tokens(x2, H, W, ws, shift, inverse), None
+
+
+def _permute_bwd(H, W, ws, shift, inverse, _, g):
+    return (_permute_tokens(g, H, W, ws, shift, not inverse),)
+
+
+_permute_tokens.defvjp(_permute_fwd, _permute_bwd)
+
+
 def shift_window_partition(x: jnp.ndarray, window_size: int,
                            shift: int) -> jnp.ndarray:
     """Fused cyclic shift + window partition.
 
     Equivalent to the reference CUDA ``WindowProcess.apply``
-    (kernels/window_process/swin_window_process_kernel.cu:42-67):
-    roll by ``-shift`` on H and W, then partition. Output
-    [batch*nW, ws, ws, C]. ``shift == 0`` degrades to plain partition.
+    (kernels/window_process/swin_window_process_kernel.cu:42-67).
+    ``shift == 0`` is a plain partition (reshape/transpose); shifted
+    blocks run roll+partition as ONE permutation gather instead of a
+    roll copy followed by a transpose copy.
     """
-    if shift:
-        x = jnp.roll(x, shift=(-shift, -shift), axis=(-3, -2))
-    return window_partition(x, window_size)
+    ws = window_size
+    if not shift:
+        return window_partition(x, ws)
+    *lead, H, W, C = x.shape
+    x2 = x.reshape(*lead, H * W, C)
+    out = _permute_tokens(x2, H, W, ws, shift, False)
+    return out.reshape(-1, ws, ws, C)
 
 
 def window_merge_unshift(windows: jnp.ndarray, window_size: int, shift: int,
@@ -70,10 +114,14 @@ def window_merge_unshift(windows: jnp.ndarray, window_size: int, shift: int,
     """Fused window merge + reverse cyclic shift.
 
     Equivalent to the reference CUDA ``WindowProcessReverse.apply``
-    (swin_window_process_kernel.cu:96-147): reverse partition, then roll
-    by ``+shift``.
+    (swin_window_process_kernel.cu:96-147); shifted blocks run as ONE
+    inverse-permutation gather.
     """
-    x = window_reverse(windows, window_size, H, W, lead_shape)
-    if shift:
-        x = jnp.roll(x, shift=(shift, shift), axis=(-3, -2))
-    return x
+    ws = window_size
+    if not shift:
+        return window_reverse(windows, ws, H, W, lead_shape)
+    C = windows.shape[-1]
+    lead = tuple(lead_shape) if lead_shape else (-1,)
+    x2 = windows.reshape(*lead, H * W, C)
+    out = _permute_tokens(x2, H, W, ws, shift, True)
+    return out.reshape(*out.shape[:-2], H, W, C)

@@ -63,6 +63,21 @@ def meter_inputs(batch):
     return pred, batch["semseg"]
 
 
+def _barrier(name, timeout_ms=600_000):
+    """Coordination-service barrier (not a device collective): keeps the
+    processes' FIRST gloo collective near-simultaneous — gloo context
+    init has a hard 30 s key-value timeout, which compile-time skew
+    under host load can exceed."""
+    try:
+        from jax._src import distributed
+
+        if distributed.global_state.client is not None:
+            distributed.global_state.client.wait_at_barrier(
+                name, timeout_ms)
+    except Exception:
+        pass
+
+
 def compute():
     """One DP train step + meter reduction on the current jax topology.
 
@@ -110,9 +125,17 @@ def compute():
     # arrays — equals the host-side sum over the full batch iff
     # global_batch_from_local assembled the shards in the right order
     chk = jax.jit(lambda b: jnp.sum(b["image"] ** 2) + jnp.sum(b["semseg"]))
+    if world > 1:
+        chk = chk.lower(batch).compile()
+        _barrier("pre_chk")
     batch_chk = float(jax.device_get(chk(batch)))
 
     step = jit_train_step(make_train_step(model, tx, TASKS), mesh)
+    if world > 1:
+        # compile BEFORE the barrier so both processes reach the first
+        # collective together regardless of compile-time skew
+        step = step.lower(state, batch).compile()
+        _barrier("pre_step")
     state, metrics = step(state, batch)
     loss = float(jax.device_get(metrics["loss"]))
     psum = jax.jit(lambda p: jax.tree.reduce(
@@ -128,6 +151,7 @@ def compute():
         sl = slice(rank * per, (rank + 1) * per)
         mstate = meter.update(meter.init(), jnp.asarray(pred[sl]),
                               jnp.asarray(gt[sl]))
+        _barrier("pre_meters")
         mstate = allreduce_meter_states(mstate)
     else:
         mstate = meter.update(meter.init(), jnp.asarray(pred),

@@ -11,7 +11,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 import mp_worker
 
@@ -49,7 +48,8 @@ def _spawn_workers(nproc, devices_per_proc):
         except subprocess.TimeoutExpired:
             p.kill()
             out, err = p.communicate()
-            pytest.fail(f"mp worker timed out; stderr tail:\n{err[-2000:]}")
+            raise RuntimeError(
+                f"mp worker timed out; stderr tail:\n{err[-2000:]}")
         assert p.returncode == 0, (
             f"worker rc={p.returncode}\nstdout:{out[-1000:]}\n"
             f"stderr:{err[-3000:]}")
@@ -59,11 +59,25 @@ def _spawn_workers(nproc, devices_per_proc):
     return results
 
 
+def _spawn_with_retry(nproc, devices_per_proc, attempts=2):
+    """gloo context init has a hard 30 s key-value handshake timeout; on
+    a heavily loaded host a worker can be descheduled past it. One retry
+    keeps the test robust without masking real regressions (all
+    numerical assertions stay strict)."""
+    for attempt in range(attempts):
+        try:
+            return _spawn_workers(nproc, devices_per_proc)
+        except Exception:
+            if attempt == attempts - 1:
+                raise
+    raise RuntimeError("unreachable")
+
+
 def test_two_process_dp_matches_single_process():
     ref = mp_worker.compute()          # in-process: 1 proc x 8 devices
     assert ref["ndev"] == 8
 
-    results = _spawn_workers(nproc=2, devices_per_proc=4)
+    results = _spawn_with_retry(nproc=2, devices_per_proc=4)
     assert [r["rank"] for r in results] == [0, 1]
     for r in results:
         assert r["world"] == 2 and r["ndev"] == 8

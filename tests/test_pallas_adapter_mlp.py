@@ -36,6 +36,35 @@ def test_fwd_matches(M, H4):
                                atol=5e-5, rtol=1e-4)
 
 
+def test_token_padding_path():
+    """M with no multiple-of-128 divisor above the VMEM cap forces the
+    zero-padding path (the batch-16 stage-3 shape class); fwd AND grads
+    must be unaffected by the padding."""
+    from mtlora_tpu.ops.pallas_adapter_mlp import _plan
+
+    M, H4 = 1000, 2048
+    Mb, M2 = _plan(M, H4)
+    assert M2 > M and M2 % 128 == 0 and M2 % Mb == 0
+    mid1T, p1, b1, a2T, scales = case(4, M=M, H4=H4)
+    out = fused_adapter_mid(mid1T, p1, b1, a2T, scales, True)
+    ref = adapter_mid_reference(mid1T, p1, b1, a2T, scales)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+    def lk(*a):
+        return jnp.sum(jnp.sin(fused_adapter_mid(*a, scales, True)))
+
+    def lr(*a):
+        return jnp.sum(jnp.sin(adapter_mid_reference(*a, scales)))
+
+    gk = jax.grad(lk, argnums=(0, 1, 2, 3))(mid1T, p1, b1, a2T)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3))(mid1T, p1, b1, a2T)
+    for k, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   atol=2e-3, rtol=2e-4)
+
+
 def test_fwd_matches_bf16():
     mid1T, p1, b1, a2T, scales = case(1, dtype=jnp.bfloat16)
     out = fused_adapter_mid(mid1T, p1, b1, a2T, scales, True)

@@ -1,0 +1,100 @@
+"""The TPU kernel flags must actually reach leaf modules.
+
+Round-1 review found `TPU.USE_PALLAS_LORA_GEMM` silently no-op'd: the
+backbone constructor dropped `use_pallas_gemm`, so the config knob never
+reached any MTLoRALinear. These tests monkeypatch the kernel entry
+points with counting wrappers and assert each flag triggers real kernel
+calls through a full backbone forward (interpret-safe on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtlora_tpu.models.lora import LoRASpec, MTLoRASpec
+from mtlora_tpu.models.swin import SwinTransformerMTLoRA
+
+SPEC = LoRASpec(r_shared=4, r_tasks=(2, 2), shared_scale=2.0,
+                task_scales=(1.0, 1.0), shared_mode="matrix")
+MTL = MTLoRASpec(enabled=True, tasks=("a", "b"),
+                 stage_specs=(SPEC, SPEC), freeze_pretrained=True)
+
+
+def _backbone(**kw):
+    return SwinTransformerMTLoRA(
+        img_size=32, embed_dim=16, depths=(1, 1), num_heads=(2, 2),
+        window_size=4, mtlora=MTL, drop_path_rate=0.0, **kw)
+
+
+def _run(model):
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model.apply(variables, x)
+
+
+def test_use_pallas_gemm_reaches_leaves(monkeypatch):
+    import mtlora_tpu.ops.pallas_lora_matmul as plm
+
+    calls = {"n": 0}
+    real = plm.lora_matmul
+
+    def counting(x, x_drop, w, a, b, scale, same_input=True,
+                 interpret=False):
+        calls["n"] += 1
+        return real(x, x_drop, w, a, b, scale, same_input, True)
+
+    monkeypatch.setattr(plm, "lora_matmul", counting)
+    _run(_backbone(use_pallas_gemm=True))
+    assert calls["n"] > 0, "USE_PALLAS_LORA_GEMM never reached a leaf"
+
+    calls["n"] = 0
+    _run(_backbone(use_pallas_gemm=False))
+    assert calls["n"] == 0
+
+
+def test_use_pallas_adapter_reaches_leaves(monkeypatch):
+    import mtlora_tpu.ops.pallas_adapter_mlp as pam
+
+    calls = {"n": 0}
+    real = pam.fused_adapter_mid
+
+    def counting(mid1T, p1, b1, a2T, scales, interpret=False):
+        calls["n"] += 1
+        return real(mid1T, p1, b1, a2T, scales, True)
+
+    # MTLoRALinear imports the symbol from the module at call time
+    monkeypatch.setattr(pam, "fused_adapter_mid", counting)
+    import mtlora_tpu.models.lora as lora_mod  # noqa: F401
+
+    _run(_backbone(use_pallas_adapter=True))
+    assert calls["n"] > 0, "USE_PALLAS_ADAPTER never reached a leaf"
+
+    calls["n"] = 0
+    _run(_backbone(use_pallas_adapter=False))
+    assert calls["n"] == 0
+
+
+def test_build_plumbs_flags():
+    """build_mtl_model must pass the TPU.* flags to the model (they are
+    forced off on CPU hosts by _pallas_available, so check the attrs at
+    the dataclass level via monkeypatching availability)."""
+    from mtlora_tpu.config import load_config
+    from mtlora_tpu.models import mtl as mtl_mod
+
+    cfg = load_config(
+        "configs/mtlora/tiny_448/mtlora_tiny_448_r64_scale4_pertask.yaml",
+        tasks=["semseg", "normals"], img_size=64,
+        opts=["MODEL.SWIN.DEPTHS", "[2, 2, 2, 2]",
+              "MODEL.SWIN.EMBED_DIM", "24",
+              "MODEL.SWIN.NUM_HEADS", "[2, 2, 2, 2]",
+              "MODEL.SWIN.WINDOW_SIZE", "4",
+              "TPU.USE_PALLAS_LORA_GEMM", "True"])
+    orig = mtl_mod._pallas_available
+    mtl_mod._pallas_available = lambda config: True
+    try:
+        model = mtl_mod.build_mtl_model(cfg)
+    finally:
+        mtl_mod._pallas_available = orig
+    assert model.use_pallas and model.use_pallas_gemm \
+        and model.use_pallas_adapter

@@ -60,11 +60,15 @@ def check(name, got, want, tol):
 
 def jnp_attention(qkv_map, num_heads, rel_bias, ws, shift, mask, B, H, W,
                   C):
-    qkv_w = shift_window_partition(qkv_map, ws, shift).reshape(
-        -1, ws * ws, 3 * C)
-    out = window_attention(qkv_w, num_heads, rel_bias, mask)
-    return window_merge_unshift(out.reshape(-1, ws, ws, C), ws, shift,
-                                H, W, (B,))
+    # 'highest' precision: XLA's DEFAULT fp32 matmul on TPU is a single
+    # bf16 MXU pass (~5e-4 rel), which would drown the comparison; the
+    # reference must be the accurate one.
+    with jax.default_matmul_precision("highest"):
+        qkv_w = shift_window_partition(qkv_map, ws, shift).reshape(
+            -1, ws * ws, 3 * C)
+        out = window_attention(qkv_w, num_heads, rel_bias, mask)
+        return window_merge_unshift(out.reshape(-1, ws, ws, C), ws, shift,
+                                    H, W, (B,))
 
 
 def test_window_attention():
@@ -72,7 +76,8 @@ def test_window_attention():
     # flagship stage shapes at 448: (C, nH, H=W)
     for (C, nH, H) in [(96, 3, 112), (192, 6, 56), (384, 12, 28),
                        (768, 24, 14)]:
-        for dt, tol_f, tol_g in ((jnp.float32, 2e-5, 2e-4),
+        W = H
+        for dt, tol_f, tol_g in ((jnp.float32, 1e-4, 5e-4),
                                  (jnp.bfloat16, 2e-2, 3e-2)):
             for shift in (0, ws // 2):
                 r = np.random.RandomState(C + shift)
@@ -110,7 +115,7 @@ def test_adapter_mid():
     # flagship MLP-tail shapes (M = B*L at 448, batch folded down to 2)
     for (L, H4) in [(12544, 384), (3136, 768), (784, 1536), (196, 3072)]:
         M = B * L
-        for dt, tol_f, tol_g in ((jnp.float32, 2e-5, 2e-4),
+        for dt, tol_f, tol_g in ((jnp.float32, 1e-4, 5e-4),
                                  (jnp.bfloat16, 2e-2, 3e-2)):
             r = np.random.RandomState(H4)
             mid1T = jnp.asarray(r.randn(T, rk, M), dt)
@@ -120,7 +125,11 @@ def test_adapter_mid():
             scales = (4.0,) * T
             name = f"adapter_mid H4={H4} {dt.__name__}"
             fk = jax.jit(lambda *a: fused_adapter_mid(*a, scales, False))
-            fr = jax.jit(lambda *a: adapter_mid_reference(*a, scales))
+
+            def _ref(*a):
+                with jax.default_matmul_precision("highest"):
+                    return adapter_mid_reference(*a, scales)
+            fr = jax.jit(_ref)
             check(name + " fwd", fk(mid1T, p1, b1, a2T),
                   fr(mid1T, p1, b1, a2T), tol_f)
 
@@ -130,8 +139,7 @@ def test_adapter_mid():
                 loss(lambda *a: fused_adapter_mid(*a, scales, False)),
                 argnums=(0, 1, 2, 3)))(mid1T, p1, b1, a2T)
             gr = jax.jit(jax.grad(
-                loss(lambda *a: adapter_mid_reference(*a, scales)),
-                argnums=(0, 1, 2, 3)))(mid1T, p1, b1, a2T)
+                loss(_ref), argnums=(0, 1, 2, 3)))(mid1T, p1, b1, a2T)
             for nm, k, rf in zip(("dmid1T", "dp1", "db1", "da2T"), gk, gr):
                 check(f"{name} {nm}", k, rf, tol_g)
 
