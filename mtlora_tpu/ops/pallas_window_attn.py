@@ -175,7 +175,16 @@ def _run_fwd(qkv_w, bias, mask, num_heads, nw, scale, interpret):
 def _run_bwd(qkv_w, bias, mask, do, num_heads, nw, scale, interpret):
     Btot, N, C3 = qkv_w.shape
     C = C3 // 3
-    G = _group_size(nw, 8 if qkv_w.dtype != jnp.float32 else 2)
+    if qkv_w.dtype == jnp.float32:
+        cap = 2  # HIGHEST-precision multi-pass buffers need VMEM headroom
+    else:
+        # more windows per cell amortizes the per-head recompute dots
+        # (the bwd kernel was measured latency-bound at G=8); bound by
+        # the [G, N, 3C] block + fp32 score intermediates in VMEM
+        # (empirically G*N*3C*2B must stay around 1 MB: G=32 compiles at
+        # C=96 but OOMs scoped vmem at C=192)
+        cap = max(4, min(32, (1 << 20) // (N * C3 * 2)))
+    G = _group_size(nw, cap)
     n_groups = nw // G
     n_cells = Btot // G
     has_mask = mask is not None
