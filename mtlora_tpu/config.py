@@ -313,6 +313,9 @@ def default_config() -> ConfigNode:
     # [T, ..., hidden] per-task tensors in VMEM — the largest HBM-traffic
     # term of the training step (docs/PERF.md)
     C.TPU.USE_PALLAS_ADAPTER = True
+    # fused LayerNorm+GEMM+shared-LoRA prologue kernel
+    # (ops/pallas_ln_lora.py); in-kernel dropout uses the Mosaic PRNG
+    C.TPU.USE_PALLAS_LN = False
     C.TPU.COMPUTE_DTYPE = "bfloat16"  # compute precision under AMP_ENABLE
     C.TPU.REMAT = False              # jax.checkpoint over Swin blocks
 

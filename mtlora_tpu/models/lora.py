@@ -175,16 +175,89 @@ class MTLoRALinear(nn.Module):
         return (self.has_tasks and len(self.spec.r_tasks) > 0
                 and self.spec.shared_mode != "lora_only")
 
+    def _ln_fused(self, x, x_tasks, deterministic, factored_tasks,
+                  ln_params):
+        """Fused LayerNorm + frozen GEMM + shared-LoRA path
+        (ops/pallas_ln_lora.py). ``x`` is the PRE-norm input; the caller
+        guarantees: matrix mode, static shared scale, frozen pretrained,
+        unmerged, and (tasks -> factored with pre-NORMED x_tasks)."""
+        from mtlora_tpu.ops.pallas_ln_lora import fused_ln_lora_linear
+
+        spec = self.spec
+        param_dtype = jnp.float32
+        kernel = self.param(
+            "kernel",
+            nn.initializers.truncated_normal(0.02, lower=-2, upper=2),
+            (self.in_features, self.out_features), param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_features,), param_dtype)
+                if self.use_bias else None)
+        kernel = jax.lax.stop_gradient(kernel)
+        bias = jax.lax.stop_gradient(bias) if bias is not None else None
+        A_s = self.param("lora_shared_A", _kaiming_uniform_rows,
+                         (self.in_features, spec.r_shared), param_dtype)
+        B_s = self.param("lora_shared_B", nn.initializers.zeros,
+                         (spec.r_shared, self.out_features), param_dtype)
+
+        dtype = self.dtype or x.dtype
+        gamma, beta, seed = ln_params
+        drop = (float(spec.dropout)
+                if (spec.dropout > 0.0 and not deterministic) else 0.0)
+        lead = x.shape[:-1]
+        x2 = x.astype(dtype).reshape(-1, self.in_features)
+        bias_c = (bias if bias is not None
+                  else jnp.zeros((self.out_features,),
+                                 param_dtype)).astype(dtype)
+        tasks_active = self._tasks_active
+        out_p = bool(factored_tasks and tasks_active)
+        # interpret on CPU hosts (tests); NB the Mosaic PRNG has no CPU
+        # interpreter, so dropout>0 requires a real TPU
+        interp = jax.default_backend() == "cpu"
+        res = fused_ln_lora_linear(
+            x2, gamma.astype(dtype), beta.astype(dtype),
+            kernel.astype(dtype), bias_c, A_s.astype(dtype),
+            B_s.astype(dtype), seed, float(spec.shared_scale), drop,
+            out_p, interp)
+        y2, p2 = res if out_p else (res, None)
+        y = y2.reshape(lead + (self.out_features,))
+        if not tasks_active:
+            return y, None
+
+        T = len(spec.r_tasks)
+        r_max = max(spec.r_tasks)
+        A_t = self.param("lora_tasks_A", _kaiming_uniform_rows,
+                         (T, self.in_features, r_max), param_dtype)
+        B_t = self.param("lora_tasks_B", nn.initializers.zeros,
+                         (T, r_max, self.out_features), param_dtype)
+        if any(r != r_max for r in spec.r_tasks):
+            rank_mask = (np.arange(r_max)[None, :]
+                         < np.asarray(spec.r_tasks)[:, None])
+            A_t = A_t * jnp.asarray(rank_mask, param_dtype)[:, None, :]
+        # x_tasks arrive pre-normed by the caller (manual LN, same
+        # gamma/beta) — project to rank space for the adapter kernel
+        xt2 = x_tasks.astype(dtype).reshape(T, -1, self.in_features)
+        mid1T = jnp.einsum("tmi,tir->trm", xt2, A_t.astype(dtype))
+        return y, FactoredTasks(
+            pretrained=p2.reshape(lead + (self.out_features,)),
+            midT=mid1T, B=B_t.astype(dtype), scales=spec.task_scales)
+
     @nn.compact
     def __call__(self, x, x_tasks=None, *, deterministic: bool = True,
-                 factored_tasks: bool = False, task_factored=None):
+                 factored_tasks: bool = False, task_factored=None,
+                 ln_params=None):
         """``factored_tasks=True`` returns the per-task output as a
         :class:`FactoredTasks` (rank-space) instead of materialized
         ``[T, ..., out]`` streams; ``task_factored=<FactoredTasks>``
         consumes an upstream layer's factored output through the fused
         Pallas adapter kernel (exact gelu between the two layers is
         applied inside the kernel). Both require 'matrix' shared mode
-        with static per-task scales; the caller (Mlp) gates this."""
+        with static per-task scales; the caller (Mlp) gates this.
+        ``ln_params=(gamma, beta, seed)`` means ``x`` (and ``x_tasks``)
+        are PRE-norm and the LayerNorm fuses into this layer's GEMMs
+        (ops/pallas_ln_lora.py); the caller gates eligibility."""
+        if ln_params is not None:
+            return self._ln_fused(x, x_tasks, deterministic,
+                                  factored_tasks, ln_params)
         spec = self.spec
         param_dtype = jnp.float32
         kernel = self.param(

@@ -117,6 +117,7 @@ class MultiTaskSwin(nn.Module):
     use_pallas: bool = False
     use_pallas_gemm: bool = False
     use_pallas_adapter: bool = False
+    use_pallas_ln: bool = False
     dtype: Optional[jnp.dtype] = None
 
     # head factory needs a config-like view; build_mtl_model injects one
@@ -162,6 +163,7 @@ class MultiTaskSwin(nn.Module):
             use_remat=self.use_remat, use_pallas=self.use_pallas,
             use_pallas_gemm=self.use_pallas_gemm,
             use_pallas_adapter=self.use_pallas_adapter,
+            use_pallas_ln=self.use_pallas_ln,
             dtype=self.dtype, name="backbone")
         stages = backbone(x, deterministic=deterministic, return_stages=True)
 
@@ -241,6 +243,8 @@ def build_mtl_model(config, *, dtype=None) -> MultiTaskSwin:
             config.get("TPU", {}).get("USE_PALLAS_LORA_GEMM", False))),
         use_pallas_adapter=(_pallas_available(config) and bool(
             config.get("TPU", {}).get("USE_PALLAS_ADAPTER", True))),
+        use_pallas_ln=(_pallas_available(config) and bool(
+            config.get("TPU", {}).get("USE_PALLAS_LN", False))),
         dtype=dtype,
     )
 

@@ -47,6 +47,42 @@ from mtlora_tpu.ops.window import (
 _NO_LORA = LoRASpec(r_shared=0)
 
 
+def _manual_ln(x, gamma, beta, eps: float = 1e-5):
+    """nn.LayerNorm numerics as a function (fp32 statistics) — used when
+    a block carries LN parameters for the fused LN+GEMM kernel but a
+    particular consumer cannot fuse."""
+    if x is None:
+        return None
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = (x32 * x32).mean(-1, keepdims=True) - mu * mu
+    out = ((x32 - mu) * jax.lax.rsqrt(var + eps)
+           * gamma.astype(jnp.float32) + beta.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+def _ln_fusible(spec: LoRASpec, mtlora: MTLoRASpec, lora_on: bool,
+                M: int, C: int, O: int) -> bool:
+    """Can a pre-norm input fuse into this MTLoRALinear via
+    ops/pallas_ln_lora.py?"""
+    from mtlora_tpu.ops.pallas_ln_lora import ln_lora_supported
+
+    return (lora_on and spec.r_shared > 0
+            and spec.shared_mode == "matrix"
+            and not spec.trainable_scale_shared
+            and not spec.shared_merged
+            and mtlora.freeze_pretrained
+            and ln_lora_supported(M, C, O))
+
+
+def _drop_seed(module, spec: LoRASpec, deterministic: bool):
+    """int32 [1] PRNG seed for the in-kernel dropout mask."""
+    if spec.dropout > 0.0 and not deterministic:
+        return jax.random.randint(module.make_rng("dropout"), (1,), 0,
+                                  2 ** 31 - 1, dtype=jnp.int32)
+    return jnp.zeros((1,), jnp.int32)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm DropPath semantics)."""
     rate: float = 0.0
@@ -77,7 +113,10 @@ class Mlp(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, x_tasks=None, *, deterministic: bool = True):
+    def __call__(self, x, x_tasks=None, *, deterministic: bool = True,
+                 ln2=None, mtlora: MTLoRASpec = MTLoRASpec()):
+        """``ln2=(gamma, beta)``: ``x``/``x_tasks`` are PRE-norm and
+        norm2 fuses into fc1's GEMMs when eligible."""
         fc1 = MTLoRALinear(self.in_features, self.hidden_features,
                            spec=self.spec, has_tasks=self.fc1_tasks,
                            freeze_pretrained=self.freeze_pretrained,
@@ -102,8 +141,31 @@ class Mlp(nn.Module):
                  and not self.spec.trainable_scale_per_task
                  and (self.drop == 0.0 or deterministic))
 
-        x, t = fc1(x, x_tasks, deterministic=deterministic,
-                   factored_tasks=fused)
+        if ln2 is not None:
+            gamma2, beta2 = ln2
+            M = 1
+            for d in x.shape[:-1]:
+                M *= d
+            # LN->fc1 fusion needs the factored task path (or no tasks):
+            # _ln_fused has no materialized-task form
+            ln_ok = (_ln_fusible(self.spec, mtlora, True, M,
+                                 self.in_features, self.hidden_features)
+                     and (fused or not self.fc1_tasks))
+            if ln_ok:
+                seed = _drop_seed(self, self.spec, deterministic)
+                xt_n = (_manual_ln(x_tasks, gamma2, beta2)
+                        if (fused and x_tasks is not None) else None)
+                x, t = fc1(x, xt_n, deterministic=deterministic,
+                           factored_tasks=fused,
+                           ln_params=(gamma2, beta2, seed))
+            else:
+                x, t = fc1(_manual_ln(x, gamma2, beta2),
+                           _manual_ln(x_tasks, gamma2, beta2),
+                           deterministic=deterministic,
+                           factored_tasks=fused)
+        else:
+            x, t = fc1(x, x_tasks, deterministic=deterministic,
+                       factored_tasks=fused)
         x = drop(jax.nn.gelu(x, approximate=False))
         if fused and t is not None:
             # gelu on the task hidden happens inside the fused kernel
@@ -149,7 +211,10 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, hw: Tuple[int, int], shift: int,
-                 shift_mask=None, *, deterministic: bool = True):
+                 shift_mask=None, *, deterministic: bool = True,
+                 ln1=None, mtlora: MTLoRASpec = MTLoRASpec()):
+        """``ln1=(gamma, beta)``: ``x`` is PRE-norm and norm1 fuses into
+        the qkv GEMM when eligible (falls back to a manual LN)."""
         H, W = hw
         B, L, C = x.shape
         ws = self.window_size
@@ -177,7 +242,18 @@ class WindowAttention(nn.Module):
             use_pallas=self.use_pallas_gemm,
             dtype=self.dtype, name="proj")
 
-        qkv_out, _ = qkv(x, deterministic=deterministic)  # [B, L, 3C]
+        if ln1 is not None:
+            gamma1, beta1 = ln1
+            if _ln_fusible(self.spec, mtlora, self.qkv_lora,
+                           B * L, C, 3 * C):
+                seed = _drop_seed(self, self.spec, deterministic)
+                qkv_out, _ = qkv(x, deterministic=deterministic,
+                                 ln_params=(gamma1, beta1, seed))
+            else:
+                qkv_out, _ = qkv(_manual_ln(x, gamma1, beta1),
+                                 deterministic=deterministic)
+        else:
+            qkv_out, _ = qkv(x, deterministic=deterministic)  # [B, L, 3C]
         attn_dropping = self.attn_drop > 0 and not deterministic
         if self.use_pallas and not attn_dropping:
             attn_tok = fused_window_attention(
@@ -226,6 +302,7 @@ class SwinBlock(nn.Module):
     use_pallas: bool = False
     use_pallas_gemm: bool = False
     use_pallas_adapter: bool = False
+    use_pallas_ln: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -245,7 +322,15 @@ class SwinBlock(nn.Module):
         fc2_tasks = lora_on and m.fc2_enabled
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        ln1 = None
+        if self.use_pallas_ln:
+            # LN params only; normalization happens fused into qkv (or
+            # via _manual_ln) — identical param paths/init to the module
+            g1, b1 = _LNParams(C, name="norm1")()
+            ln1 = (g1, b1)
+        else:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="norm1")(x)
 
         mask = (jnp.asarray(shift_attention_mask(H, W, ws, shift))
                 if shift > 0 else None)
@@ -262,7 +347,8 @@ class SwinBlock(nn.Module):
             freeze_pretrained=m.enabled and m.freeze_pretrained,
             dtype=self.dtype, name="attn")
         aw, aw_tasks = attn(x, (H, W), shift, mask,
-                            deterministic=deterministic)
+                            deterministic=deterministic, ln1=ln1,
+                            mtlora=m)
 
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(aw, deterministic=deterministic)
@@ -275,7 +361,6 @@ class SwinBlock(nn.Module):
                                              deterministic=deterministic)
 
         # FFN; task streams enter through norm2 (reference :395-396)
-        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         mlp = Mlp(in_features=C, hidden_features=int(C * self.mlp_ratio),
                   spec=self.spec, fc1_tasks=fc1_tasks, fc2_tasks=fc2_tasks,
                   drop=self.drop,
@@ -283,9 +368,18 @@ class SwinBlock(nn.Module):
                   use_pallas=self.use_pallas_gemm,
                   use_pallas_adapter=self.use_pallas_adapter,
                   dtype=self.dtype, name="mlp")
-        mlp_out, mlp_tasks = mlp(
-            norm2(x), norm2(attn_tasks) if attn_tasks is not None else None,
-            deterministic=deterministic)
+        if self.use_pallas_ln:
+            g2, b2 = _LNParams(C, name="norm2")()
+            mlp_out, mlp_tasks = mlp(x, attn_tasks,
+                                     deterministic=deterministic,
+                                     ln2=(g2, b2), mtlora=m)
+        else:
+            norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name="norm2")
+            mlp_out, mlp_tasks = mlp(
+                norm2(x),
+                norm2(attn_tasks) if attn_tasks is not None else None,
+                deterministic=deterministic)
         x = x + dp(mlp_out, deterministic=deterministic)
 
         if mlp_tasks is None:
@@ -429,6 +523,7 @@ class BasicLayer(nn.Module):
     use_pallas: bool = False
     use_pallas_gemm: bool = False
     use_pallas_adapter: bool = False
+    use_pallas_ln: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -452,6 +547,7 @@ class BasicLayer(nn.Module):
                 use_pallas=self.use_pallas,
                 use_pallas_gemm=self.use_pallas_gemm,
                 use_pallas_adapter=self.use_pallas_adapter,
+                use_pallas_ln=self.use_pallas_ln,
                 dtype=self.dtype, name=f"blocks_{i}")
             x, t = blk(x, deterministic)
             if t is not None:
@@ -524,6 +620,7 @@ class SwinTransformerMTLoRA(nn.Module):
     use_pallas: bool = False
     use_pallas_gemm: bool = False
     use_pallas_adapter: bool = False
+    use_pallas_ln: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @property
@@ -584,6 +681,7 @@ class SwinTransformerMTLoRA(nn.Module):
                 use_remat=self.use_remat, use_pallas=self.use_pallas,
                 use_pallas_gemm=self.use_pallas_gemm,
                 use_pallas_adapter=self.use_pallas_adapter,
+                use_pallas_ln=self.use_pallas_ln,
                 dtype=self.dtype, name=f"layers_{i}")
             x, tasks = layer(x, deterministic=deterministic)
             if tasks is None and T > 0:

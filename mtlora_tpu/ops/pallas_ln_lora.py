@@ -1,0 +1,316 @@
+"""Fused LayerNorm + frozen-linear + shared-LoRA Pallas kernel.
+
+The two LN->GEMM prologues of every Swin block (norm1 -> qkv,
+norm2 -> fc1) materialize the normalized activations in HBM purely to
+feed the next GEMM and the shared-adapter branch; on the profiled
+flagship step the surrounding fusions move ~5x the minimal bytes. This
+kernel computes, entirely in VMEM per token block:
+
+    ln = LayerNorm(x; gamma, beta)                  (fp32 statistics)
+    p  = ln @ W + b                                  (frozen pretrained)
+    y  = p + s * (dropout(ln) @ A) @ B               (shared LoRA branch)
+
+returning y (and optionally p, which the factored task path of a stage
+tail consumes). The backward kernel recomputes ln / the dropout mask
+(same PRNG seed per grid cell) and produces dx via the standard
+LayerNorm backward, with dgamma/dbeta/dA/dB accumulated across grid
+steps in revisited output blocks. W and b are frozen (reference
+mark_only_lora_as_trainable); their cotangents are zeros.
+
+Dropout note: the in-kernel mask comes from the Mosaic PRNG
+(pltpu.prng_random_bits) seeded per (layer, step, grid-cell), not from
+jax.random.bernoulli — the DISTRIBUTION matches (keep prob 1-p, 1/(1-p)
+scaling) but the stream differs from the unfused path. Deterministic
+(eval / parity) execution is bit-comparable to the unfused path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-5
+
+
+def _prec(dtype):
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
+
+
+_DN_STD = (((1,), (0,)), ((), ()))   # [M,K] @ [K,N]
+_DN_T0 = (((0,), (0,)), ((), ()))    # contract dim0 of both
+
+
+def _layer_norm(x32, gamma, beta):
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(var + _EPS)
+    xhat = (x32 - mu) * inv
+    return xhat * gamma + beta, xhat, inv
+
+
+def _drop_mask(shape, rate):
+    """uint32 PRNG draw -> keep mask; caller seeds the PRNG."""
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(int(rate * (2 ** 32)))
+    return (pltpu.bitcast(bits, jnp.uint32) >= threshold)
+
+
+def _fwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
+                brh_ref, y_ref, p_ref, *, scale, drop, out_p):
+    cdt = x_ref.dtype
+    x32 = x_ref[...].astype(jnp.float32)
+    ln, _, _ = _layer_norm(x32, g_ref[...].astype(jnp.float32),
+                           b_ref[...].astype(jnp.float32))
+    lnc = ln.astype(cdt)
+    p = jax.lax.dot_general(lnc, w_ref[...], _DN_STD,
+                            preferred_element_type=jnp.float32,
+                            precision=_prec(cdt))
+    p = p + bias_ref[...].astype(jnp.float32)
+    if drop > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _drop_mask(ln.shape, drop)
+        lnd = jnp.where(keep, ln / (1.0 - drop), 0.0).astype(cdt)
+    else:
+        lnd = lnc
+    m = jax.lax.dot_general(lnd, a_ref[...], _DN_STD,
+                            preferred_element_type=jnp.float32,
+                            precision=_prec(cdt))
+    u = jax.lax.dot_general(m.astype(cdt), brh_ref[...], _DN_STD,
+                            preferred_element_type=jnp.float32,
+                            precision=_prec(cdt))
+    y = p + scale * u
+    y_ref[...] = y.astype(y_ref.dtype)
+    if out_p:
+        p_ref[...] = p.astype(p_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, a_ref, brh_ref,
+                gy_ref, gp_ref, dx_ref, dg_ref, db_ref, da_ref, dbr_ref,
+                *, scale, drop, has_gp):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        da_ref[...] = jnp.zeros_like(da_ref)
+        dbr_ref[...] = jnp.zeros_like(dbr_ref)
+
+    cdt = x_ref.dtype
+    C = x_ref.shape[-1]
+    x32 = x_ref[...].astype(jnp.float32)
+    gamma = g_ref[...].astype(jnp.float32)
+    ln, xhat, inv = _layer_norm(x32, gamma, b_ref[...].astype(jnp.float32))
+    lnc = ln.astype(cdt)
+    if drop > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _drop_mask(ln.shape, drop)
+        lnd = jnp.where(keep, ln / (1.0 - drop), 0.0).astype(cdt)
+    else:
+        keep = None
+        lnd = lnc
+    m = jax.lax.dot_general(lnd, a_ref[...], _DN_STD,
+                            preferred_element_type=jnp.float32,
+                            precision=_prec(cdt)).astype(cdt)
+
+    gy = gy_ref[...]  # [Mb, O] cotangent of y
+    # pretrained-path cotangent: dp_total = gy (+ gp if p was an output)
+    gp_total = gy.astype(jnp.float32)
+    if has_gp:
+        gp_total = gp_total + gp_ref[...].astype(jnp.float32)
+    # adapter chain: du = s*gy; dm = du @ B^T; dB += m^T @ du
+    du = (scale * gy.astype(jnp.float32)).astype(cdt)
+    dm = jax.lax.dot_general(du, brh_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_prec(cdt)).astype(cdt)  # [Mb, r]
+    dbr_ref[...] += jax.lax.dot_general(
+        m, du, _DN_T0, preferred_element_type=jnp.float32,
+        precision=_prec(cdt))
+    da_ref[...] += jax.lax.dot_general(
+        lnd, dm, _DN_T0, preferred_element_type=jnp.float32,
+        precision=_prec(cdt))
+    # dlnd = dm @ A^T ; through dropout
+    dlnd = jax.lax.dot_general(dm, a_ref[...],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_prec(cdt))
+    if drop > 0.0:
+        dln_adapter = jnp.where(keep, dlnd / (1.0 - drop), 0.0)
+    else:
+        dln_adapter = dlnd
+    # pretrained path: dln += gp_total @ W^T
+    dln = dln_adapter + jax.lax.dot_general(
+        gp_total.astype(cdt), w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(cdt))
+    # LayerNorm backward
+    dg_ref[...] += jnp.sum(dln * xhat, axis=0)[None]
+    db_ref[...] += jnp.sum(dln, axis=0)[None]
+    dxhat = dln * gamma
+    dx = inv * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+                - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _row_block(M, C, O):
+    width = max(C, O)
+    cap = max(128, ((1 << 20) // (4 * width)) // 128 * 128)
+    if M <= cap:
+        return M
+    best = None
+    d = 128
+    while d <= cap:
+        if M % d == 0:
+            best = d
+        d += 128
+    return best  # None -> caller falls back to unfused
+
+
+def ln_lora_supported(M: int, C: int, O: int) -> bool:
+    return _row_block(M, C, O) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_ln_lora_linear(x, gamma, beta, kernel, bias, A, B, seed,
+                         scale, drop, out_p, interpret=False):
+    """x [M,C] -> y [M,O] (and p [M,O] when out_p).
+
+    y = LN(x)@W + b + scale * (dropout(LN(x)) @ A) @ B; W/b frozen.
+    ``seed``: int32 [1] array (ignored when drop == 0).
+    """
+    y, p = _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale,
+                    drop, out_p, interpret)
+    return (y, p) if out_p else y
+
+
+def _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
+             out_p, interpret):
+    M, C = x.shape
+    O = kernel.shape[1]
+    r = A.shape[1]
+    Mb = _row_block(M, C, O)
+    grid = (M // Mb,)
+    kern = functools.partial(_fwd_kernel, scale=scale, drop=drop,
+                             out_p=out_p)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
+        pl.BlockSpec((Mb, C), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),                    # x
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # gamma
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # beta
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # W
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # bias
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # A
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # B
+    ]
+    out_specs = (
+        pl.BlockSpec((Mb, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Mb, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((M, O), x.dtype),
+        jax.ShapeDtypeStruct((M, O) if out_p else (1, O), x.dtype),
+    )
+    y, p = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=(out_specs[0],
+                   out_specs[1] if out_p else pl.BlockSpec(
+                       (1, O), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(seed, x, gamma, beta, kernel, bias, A, B)
+    return y, (p if out_p else None)
+
+
+def _fwd_rule(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
+              out_p, interpret):
+    out = fused_ln_lora_linear(x, gamma, beta, kernel, bias, A, B, seed,
+                               scale, drop, out_p, interpret)
+    return out, (x, gamma, beta, kernel, A, B, seed)
+
+
+def _bwd_rule(scale, drop, out_p, interpret, res, g):
+    x, gamma, beta, kernel, A, B, seed = res
+    if out_p:
+        gy, gp = g
+    else:
+        gy, gp = g, None
+    M, C = x.shape
+    O = kernel.shape[1]
+    r = A.shape[1]
+    Mb = _row_block(M, C, O)
+    kern = functools.partial(_bwd_kernel, scale=scale, drop=drop,
+                             has_gp=gp is not None)
+    gp_arg = gp if gp is not None else jnp.zeros((1, O), x.dtype)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
+        pl.BlockSpec((Mb, C), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),                    # x
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # gamma
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # beta
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # W
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # A
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # B
+        pl.BlockSpec((Mb, O), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),                    # gy
+        (pl.BlockSpec((Mb, O), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM) if gp is not None
+         else pl.BlockSpec((1, O), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)),             # gp
+    ]
+    dx, dg, db, da, dbr = pl.pallas_call(
+        kern, grid=(M // Mb,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((Mb, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, r), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, O), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, C), x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, r), jnp.float32),
+            jax.ShapeDtypeStruct((r, O), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seed, x, gamma, beta, kernel, A, B, gy, gp_arg)
+    zW = jnp.zeros_like(kernel)
+    zb = jnp.zeros((O,), kernel.dtype)
+    return (dx, dg[0].astype(gamma.dtype), db[0].astype(beta.dtype),
+            zW, zb, da.astype(A.dtype), dbr.astype(B.dtype), None)
+
+
+fused_ln_lora_linear.defvjp(_fwd_rule, _bwd_rule)
+
+
+def ln_lora_reference(x, gamma, beta, kernel, bias, A, B, scale,
+                      keep_mask=None, drop=0.0):
+    """Pure-jnp reference (dropout via an explicit keep mask)."""
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = (x32 * x32).mean(-1, keepdims=True) - mu * mu
+    ln = ((x32 - mu) * jax.lax.rsqrt(var + _EPS)
+          * gamma.astype(jnp.float32) + beta.astype(jnp.float32))
+    lnc = ln.astype(x.dtype)
+    p = (lnc @ kernel).astype(jnp.float32) + bias.astype(jnp.float32)
+    lnd = lnc if keep_mask is None else jnp.where(
+        keep_mask, ln / (1.0 - drop), 0.0).astype(x.dtype)
+    u = ((lnd @ A).astype(x.dtype) @ B).astype(jnp.float32)
+    return (p + scale * u).astype(x.dtype), p.astype(x.dtype)

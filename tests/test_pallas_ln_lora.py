@@ -1,0 +1,109 @@
+"""Fused LayerNorm+GEMM+shared-LoRA kernel (ops/pallas_ln_lora.py):
+kernel-vs-reference equality and whole-backbone equality of the
+use_pallas_ln path against the module path, interpret mode on CPU
+(deterministic — the in-kernel dropout PRNG is TPU-only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtlora_tpu.models.lora import LoRASpec, MTLoRASpec
+from mtlora_tpu.models.swin import SwinTransformerMTLoRA
+from mtlora_tpu.ops.pallas_ln_lora import (
+    fused_ln_lora_linear,
+    ln_lora_reference,
+)
+
+
+def _case(seed, M=256, C=96, O=288, r=64):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(M, C), jnp.float32)
+    g = jnp.asarray(rs.randn(C) * 0.1 + 1, jnp.float32)
+    b = jnp.asarray(rs.randn(C) * 0.1, jnp.float32)
+    W = jnp.asarray(rs.randn(C, O) * 0.05, jnp.float32)
+    bias = jnp.asarray(rs.randn(O) * 0.1, jnp.float32)
+    A = jnp.asarray(rs.randn(C, r) * 0.1, jnp.float32)
+    B = jnp.asarray(rs.randn(r, O) * 0.1, jnp.float32)
+    return x, g, b, W, bias, A, B
+
+
+def test_fwd_and_p_match():
+    x, g, b, W, bias, A, B = _case(0)
+    seed = jnp.zeros((1,), jnp.int32)
+    y, p = fused_ln_lora_linear(x, g, b, W, bias, A, B, seed, 4.0, 0.0,
+                                True, True)
+    yr, pr = ln_lora_reference(x, g, b, W, bias, A, B, 4.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(pr), atol=2e-5,
+                               rtol=1e-5)
+
+
+def test_grads_match():
+    x, g, b, W, bias, A, B = _case(1)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def lk(x, g, b, A, B):
+        return jnp.sum(jnp.sin(fused_ln_lora_linear(
+            x, g, b, W, bias, A, B, seed, 2.0, 0.0, False, True)))
+
+    def lr(x, g, b, A, B):
+        return jnp.sum(jnp.sin(ln_lora_reference(
+            x, g, b, W, bias, A, B, 2.0)[0]))
+
+    gk = jax.grad(lk, argnums=(0, 1, 2, 3, 4))(x, g, b, A, B)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3, 4))(x, g, b, A, B)
+    for name, k, r in zip("x gamma beta A B".split(), gk, gr):
+        scale = max(float(jnp.abs(r).max()), 1e-6)
+        rel = float(jnp.abs(k - r).max()) / scale
+        assert rel < 2e-5, f"grad mismatch for {name}: rel {rel}"
+
+
+def _backbone(use_ln):
+    spec = LoRASpec(r_shared=8, r_tasks=(2, 2), shared_scale=2.0,
+                    task_scales=(1.0, 1.0), shared_mode="matrix")
+    mtl = MTLoRASpec(enabled=True, tasks=("a", "b"),
+                     stage_specs=(spec, spec), freeze_pretrained=True)
+    return SwinTransformerMTLoRA(
+        img_size=32, embed_dim=16, depths=(1, 2), num_heads=(2, 2),
+        window_size=4, mtlora=mtl, drop_path_rate=0.0,
+        use_pallas_ln=use_ln, use_pallas_adapter=use_ln)
+
+
+def test_backbone_ln_path_matches_module_path():
+    """Whole backbone (incl. the factored fc1 tail + shifted blocks):
+    use_pallas_ln=True must reproduce the nn.LayerNorm path exactly with
+    the same parameters; param trees must be identical."""
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+    ref, fused = _backbone(False), _backbone(True)
+    variables = ref.init(jax.random.PRNGKey(0), x)
+    v2 = fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(variables) == jax.tree.structure(v2)
+    chk = jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), variables, v2)
+    del chk
+
+    out_r = ref.apply(variables, x)
+    out_f = fused.apply(variables, x)
+    for (xr, tr), (xf, tf) in zip(out_r, out_f):
+        np.testing.assert_allclose(np.asarray(xf), np.asarray(xr),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(tf), np.asarray(tr),
+                                   atol=2e-5, rtol=2e-5)
+
+    def loss(model, v):
+        outs = model.apply(v, x)
+        return sum(jnp.mean(jnp.sin(s)) + jnp.mean(jnp.cos(t))
+                   for (s, t) in outs)
+
+    g_r = jax.grad(lambda v: loss(ref, v))(variables)
+    g_f = jax.grad(lambda v: loss(fused, v))(variables)
+    for (pr, vr), (pf, vf) in zip(
+            jax.tree_util.tree_flatten_with_path(g_r)[0],
+            jax.tree_util.tree_flatten_with_path(g_f)[0]):
+        assert pr == pf
+        scale = max(float(jnp.abs(vr).max()), 1e-6)
+        rel = float(jnp.abs(vf - vr).max()) / scale
+        assert rel < 5e-5, (
+            f"grad mismatch at {jax.tree_util.keystr(pr)}: rel {rel}")
