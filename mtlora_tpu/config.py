@@ -314,7 +314,9 @@ def default_config() -> ConfigNode:
     # term of the training step (docs/PERF.md)
     C.TPU.USE_PALLAS_ADAPTER = True
     # fused LayerNorm+GEMM+shared-LoRA prologue kernel
-    # (ops/pallas_ln_lora.py); in-kernel dropout uses the Mosaic PRNG
+    # (ops/pallas_ln_lora.py); measured perf-NEUTRAL end-to-end on v5e
+    # (docs/PERF.md) -> off by default; in-kernel dropout uses the
+    # Mosaic PRNG when enabled
     C.TPU.USE_PALLAS_LN = False
     C.TPU.COMPUTE_DTYPE = "bfloat16"  # compute precision under AMP_ENABLE
     C.TPU.REMAT = False              # jax.checkpoint over Swin blocks
