@@ -317,7 +317,7 @@ def default_config() -> ConfigNode:
     # (ops/pallas_ln_lora.py); measured perf-NEUTRAL end-to-end on v5e
     # (docs/PERF.md) -> off by default; in-kernel dropout uses the
     # Mosaic PRNG when enabled
-    C.TPU.USE_PALLAS_LN = False
+    C.TPU.USE_PALLAS_LN = True
     C.TPU.COMPUTE_DTYPE = "bfloat16"  # compute precision under AMP_ENABLE
     C.TPU.REMAT = False              # jax.checkpoint over Swin blocks
 

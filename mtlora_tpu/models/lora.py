@@ -176,7 +176,7 @@ class MTLoRALinear(nn.Module):
                 and self.spec.shared_mode != "lora_only")
 
     def _ln_fused(self, x, x_tasks, deterministic, factored_tasks,
-                  ln_params):
+                  ln_params, ln_act=False):
         """Fused LayerNorm + frozen GEMM + shared-LoRA path
         (ops/pallas_ln_lora.py). ``x`` is the PRE-norm input; the caller
         guarantees: matrix mode, static shared scale, frozen pretrained,
@@ -217,7 +217,7 @@ class MTLoRALinear(nn.Module):
             x2, gamma.astype(dtype), beta.astype(dtype),
             kernel.astype(dtype), bias_c, A_s.astype(dtype),
             B_s.astype(dtype), seed, float(spec.shared_scale), drop,
-            out_p, interp)
+            out_p, ln_act, interp)
         y2, p2 = res if out_p else (res, None)
         y = y2.reshape(lead + (self.out_features,))
         if not tasks_active:
@@ -244,7 +244,7 @@ class MTLoRALinear(nn.Module):
     @nn.compact
     def __call__(self, x, x_tasks=None, *, deterministic: bool = True,
                  factored_tasks: bool = False, task_factored=None,
-                 ln_params=None):
+                 ln_params=None, ln_act: bool = False):
         """``factored_tasks=True`` returns the per-task output as a
         :class:`FactoredTasks` (rank-space) instead of materialized
         ``[T, ..., out]`` streams; ``task_factored=<FactoredTasks>``
@@ -257,7 +257,7 @@ class MTLoRALinear(nn.Module):
         (ops/pallas_ln_lora.py); the caller gates eligibility."""
         if ln_params is not None:
             return self._ln_fused(x, x_tasks, deterministic,
-                                  factored_tasks, ln_params)
+                                  factored_tasks, ln_params, ln_act)
         spec = self.spec
         param_dtype = jnp.float32
         kernel = self.param(

@@ -62,11 +62,18 @@ def _manual_ln(x, gamma, beta, eps: float = 1e-5):
 
 
 def _ln_fusible(spec: LoRASpec, mtlora: MTLoRASpec, lora_on: bool,
-                M: int, C: int, O: int) -> bool:
+                M: int, C: int, O: int, dtype) -> bool:
     """Can a pre-norm input fuse into this MTLoRALinear via
     ops/pallas_ln_lora.py?"""
     from mtlora_tpu.ops.pallas_ln_lora import ln_lora_supported
 
+    # VMEM: the kernel holds the full [C, O] weight; fp32 additionally
+    # runs HIGHEST-precision multi-pass matmuls (~3x scratch). Large
+    # fp32 layers fall back to the manual-LN path.
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    passes = 1 if itemsize == 2 else 3
+    if C * O * itemsize * passes > (10 << 20):
+        return False
     return (lora_on and spec.r_shared > 0
             and spec.shared_mode == "matrix"
             and not spec.trainable_scale_shared
@@ -149,15 +156,31 @@ class Mlp(nn.Module):
             # LN->fc1 fusion needs the factored task path (or no tasks):
             # _ln_fused has no materialized-task form
             ln_ok = (_ln_fusible(self.spec, mtlora, True, M,
-                                 self.in_features, self.hidden_features)
+                                 self.in_features, self.hidden_features,
+                                 self.dtype or x.dtype)
                      and (fused or not self.fc1_tasks))
             if ln_ok:
                 seed = _drop_seed(self, self.spec, deterministic)
                 xt_n = (_manual_ln(x_tasks, gamma2, beta2)
                         if (fused and x_tasks is not None) else None)
+                # gelu applies INSIDE the kernel (ln_act): elementwise
+                # consumers cannot fuse into a pallas output, so an
+                # outside gelu costs a full extra pass over [M, 4C]
                 x, t = fc1(x, xt_n, deterministic=deterministic,
                            factored_tasks=fused,
-                           ln_params=(gamma2, beta2, seed))
+                           ln_params=(gamma2, beta2, seed), ln_act=True)
+                x = drop(x)
+                if fused and t is not None:
+                    x, t = fc2(x, None, task_factored=t,
+                               deterministic=deterministic)
+                else:
+                    if t is not None:
+                        t = drop(jax.nn.gelu(t, approximate=False))
+                    x, t = fc2(x, t, deterministic=deterministic)
+                x = drop(x)
+                if t is not None:
+                    t = drop(t)
+                return x, t
             else:
                 x, t = fc1(_manual_ln(x, gamma2, beta2),
                            _manual_ln(x_tasks, gamma2, beta2),
@@ -245,7 +268,7 @@ class WindowAttention(nn.Module):
         if ln1 is not None:
             gamma1, beta1 = ln1
             if _ln_fusible(self.spec, mtlora, self.qkv_lora,
-                           B * L, C, 3 * C):
+                           B * L, C, 3 * C, self.dtype or x.dtype):
                 seed = _drop_seed(self, self.spec, deterministic)
                 qkv_out, _ = qkv(x, deterministic=deterministic,
                                  ln_params=(gamma1, beta1, seed))

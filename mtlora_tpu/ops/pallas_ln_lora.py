@@ -33,6 +33,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mtlora_tpu.ops.pallas_adapter_mlp import (
+    _INV_SQRT_2PI,
+    _cdf,
+    _gelu,
+)
+
 _EPS = 1e-5
 
 
@@ -60,7 +66,7 @@ def _drop_mask(shape, rate):
 
 
 def _fwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
-                brh_ref, y_ref, p_ref, *, scale, drop, out_p):
+                brh_ref, y_ref, p_ref, *, scale, drop, out_p, out_act):
     cdt = x_ref.dtype
     x32 = x_ref[...].astype(jnp.float32)
     ln, _, _ = _layer_norm(x32, g_ref[...].astype(jnp.float32),
@@ -83,14 +89,19 @@ def _fwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
                             preferred_element_type=jnp.float32,
                             precision=_prec(cdt))
     y = p + scale * u
+    if out_act:
+        # gelu fused into the output write: XLA cannot fuse elementwise
+        # consumers into a pallas_call's output, so leaving gelu outside
+        # costs a full extra read+write pass over [M, O]
+        y = _gelu(y)
     y_ref[...] = y.astype(y_ref.dtype)
     if out_p:
         p_ref[...] = p.astype(p_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, a_ref, brh_ref,
-                gy_ref, gp_ref, dx_ref, dg_ref, db_ref, da_ref, dbr_ref,
-                *, scale, drop, has_gp):
+def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
+                brh_ref, gy_ref, gp_ref, dx_ref, dg_ref, db_ref, da_ref,
+                dbr_ref, *, scale, drop, has_gp, out_act):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -117,7 +128,20 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, a_ref, brh_ref,
                             preferred_element_type=jnp.float32,
                             precision=_prec(cdt)).astype(cdt)
 
-    gy = gy_ref[...]  # [Mb, O] cotangent of y
+    gy = gy_ref[...]  # [Mb, O] cotangent of y (post-gelu when out_act)
+    if out_act:
+        # recompute pre-activation y and fold dgelu into the cotangent
+        p_full = jax.lax.dot_general(lnc, w_ref[...], _DN_STD,
+                                     preferred_element_type=jnp.float32,
+                                     precision=_prec(cdt))
+        p_full = p_full + bias_ref[...].astype(jnp.float32)
+        u_full = jax.lax.dot_general(
+            m, brh_ref[...], _DN_STD, preferred_element_type=jnp.float32,
+            precision=_prec(cdt))
+        z_pre = p_full + scale * u_full
+        dgelu = _cdf(z_pre) + z_pre * (
+            jnp.exp(-0.5 * z_pre * z_pre) * _INV_SQRT_2PI)
+        gy = (gy.astype(jnp.float32) * dgelu).astype(gy.dtype)
     # pretrained-path cotangent: dp_total = gy (+ gp if p was an output)
     gp_total = gy.astype(jnp.float32)
     if has_gp:
@@ -174,28 +198,30 @@ def ln_lora_supported(M: int, C: int, O: int) -> bool:
     return _row_block(M, C, O) is not None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def fused_ln_lora_linear(x, gamma, beta, kernel, bias, A, B, seed,
-                         scale, drop, out_p, interpret=False):
-    """x [M,C] -> y [M,O] (and p [M,O] when out_p).
+                         scale, drop, out_p, out_act=False,
+                         interpret=False):
+    """x [M,C] -> y [M,O] (and PRE-activation p [M,O] when out_p).
 
-    y = LN(x)@W + b + scale * (dropout(LN(x)) @ A) @ B; W/b frozen.
+    y = LN(x)@W + b + scale * (dropout(LN(x)) @ A) @ B; W/b frozen;
+    ``out_act`` applies exact-form gelu to y inside the kernel.
     ``seed``: int32 [1] array (ignored when drop == 0).
     """
     y, p = _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale,
-                    drop, out_p, interpret)
+                    drop, out_p, out_act, interpret)
     return (y, p) if out_p else y
 
 
 def _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
-             out_p, interpret):
+             out_p, out_act, interpret):
     M, C = x.shape
     O = kernel.shape[1]
     r = A.shape[1]
     Mb = _row_block(M, C, O)
     grid = (M // Mb,)
     kern = functools.partial(_fwd_kernel, scale=scale, drop=drop,
-                             out_p=out_p)
+                             out_p=out_p, out_act=out_act)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
         pl.BlockSpec((Mb, C), lambda i: (i, 0),
@@ -230,14 +256,14 @@ def _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
 
 
 def _fwd_rule(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
-              out_p, interpret):
+              out_p, out_act, interpret):
     out = fused_ln_lora_linear(x, gamma, beta, kernel, bias, A, B, seed,
-                               scale, drop, out_p, interpret)
-    return out, (x, gamma, beta, kernel, A, B, seed)
+                               scale, drop, out_p, out_act, interpret)
+    return out, (x, gamma, beta, kernel, bias, A, B, seed)
 
 
-def _bwd_rule(scale, drop, out_p, interpret, res, g):
-    x, gamma, beta, kernel, A, B, seed = res
+def _bwd_rule(scale, drop, out_p, out_act, interpret, res, g):
+    x, gamma, beta, kernel, bias, A, B, seed = res
     if out_p:
         gy, gp = g
     else:
@@ -247,7 +273,7 @@ def _bwd_rule(scale, drop, out_p, interpret, res, g):
     r = A.shape[1]
     Mb = _row_block(M, C, O)
     kern = functools.partial(_bwd_kernel, scale=scale, drop=drop,
-                             has_gp=gp is not None)
+                             has_gp=gp is not None, out_act=out_act)
     gp_arg = gp if gp is not None else jnp.zeros((1, O), x.dtype)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
@@ -256,6 +282,7 @@ def _bwd_rule(scale, drop, out_p, interpret, res, g):
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # gamma
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # beta
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # W
+        pl.BlockSpec(memory_space=pltpu.VMEM),                    # bias
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # A
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # B
         pl.BlockSpec((Mb, O), lambda i: (i, 0),
@@ -290,7 +317,7 @@ def _bwd_rule(scale, drop, out_p, interpret, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(seed, x, gamma, beta, kernel, A, B, gy, gp_arg)
+    )(seed, x, gamma, beta, kernel, bias, A, B, gy, gp_arg)
     zW = jnp.zeros_like(kernel)
     zb = jnp.zeros((O,), kernel.dtype)
     return (dx, dg[0].astype(gamma.dtype), db[0].astype(beta.dtype),
@@ -301,7 +328,7 @@ fused_ln_lora_linear.defvjp(_fwd_rule, _bwd_rule)
 
 
 def ln_lora_reference(x, gamma, beta, kernel, bias, A, B, scale,
-                      keep_mask=None, drop=0.0):
+                      keep_mask=None, drop=0.0, act=False):
     """Pure-jnp reference (dropout via an explicit keep mask)."""
     x32 = x.astype(jnp.float32)
     mu = x32.mean(-1, keepdims=True)
@@ -313,4 +340,7 @@ def ln_lora_reference(x, gamma, beta, kernel, bias, A, B, scale,
     lnd = lnc if keep_mask is None else jnp.where(
         keep_mask, ln / (1.0 - drop), 0.0).astype(x.dtype)
     u = ((lnd @ A).astype(x.dtype) @ B).astype(jnp.float32)
-    return (p + scale * u).astype(x.dtype), p.astype(x.dtype)
+    y = p + scale * u
+    if act:
+        y = jax.nn.gelu(y, approximate=False)
+    return y.astype(x.dtype), p.astype(x.dtype)

@@ -31,12 +31,39 @@ def test_fwd_and_p_match():
     x, g, b, W, bias, A, B = _case(0)
     seed = jnp.zeros((1,), jnp.int32)
     y, p = fused_ln_lora_linear(x, g, b, W, bias, A, B, seed, 4.0, 0.0,
-                                True, True)
+                                True, False, True)
     yr, pr = ln_lora_reference(x, g, b, W, bias, A, B, 4.0)
     np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-5,
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p), np.asarray(pr), atol=2e-5,
                                rtol=1e-5)
+
+
+def test_fwd_act_matches():
+    x, g, b, W, bias, A, B = _case(5)
+    seed = jnp.zeros((1,), jnp.int32)
+    y = fused_ln_lora_linear(x, g, b, W, bias, A, B, seed, 4.0, 0.0,
+                             False, True, True)
+    yr, _ = ln_lora_reference(x, g, b, W, bias, A, B, 4.0, act=True)
+    # the in-kernel gelu uses the A&S erf approximation (1.5e-7 abs per
+    # element, amplified through downstream contractions)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-4,
+                               rtol=1e-4)
+
+    def lk(x, A):
+        return jnp.sum(jnp.sin(fused_ln_lora_linear(
+            x, g, b, W, bias, A, B, seed, 4.0, 0.0, False, True, True)))
+
+    def lr(x, A):
+        return jnp.sum(jnp.sin(ln_lora_reference(
+            x, g, b, W, bias, A, B, 4.0, act=True)[0]))
+
+    gk = jax.grad(lk, argnums=(0, 1))(x, A)
+    gr = jax.grad(lr, argnums=(0, 1))(x, A)
+    for name, k, r in zip("x A".split(), gk, gr):
+        scale = max(float(jnp.abs(r).max()), 1e-6)
+        rel = float(jnp.abs(k - r).max()) / scale
+        assert rel < 1e-3, f"act grad mismatch for {name}: rel {rel}"
 
 
 def test_grads_match():
@@ -45,7 +72,7 @@ def test_grads_match():
 
     def lk(x, g, b, A, B):
         return jnp.sum(jnp.sin(fused_ln_lora_linear(
-            x, g, b, W, bias, A, B, seed, 2.0, 0.0, False, True)))
+            x, g, b, W, bias, A, B, seed, 2.0, 0.0, False, False, True)))
 
     def lr(x, g, b, A, B):
         return jnp.sum(jnp.sin(ln_lora_reference(
@@ -88,9 +115,9 @@ def test_backbone_ln_path_matches_module_path():
     out_f = fused.apply(variables, x)
     for (xr, tr), (xf, tf) in zip(out_r, out_f):
         np.testing.assert_allclose(np.asarray(xf), np.asarray(xr),
-                                   atol=2e-5, rtol=2e-5)
+                                   atol=2e-4, rtol=2e-4)
         np.testing.assert_allclose(np.asarray(tf), np.asarray(tr),
-                                   atol=2e-5, rtol=2e-5)
+                                   atol=2e-4, rtol=2e-4)
 
     def loss(model, v):
         outs = model.apply(v, x)
@@ -105,5 +132,8 @@ def test_backbone_ln_path_matches_module_path():
         assert pr == pf
         scale = max(float(jnp.abs(vr).max()), 1e-6)
         rel = float(jnp.abs(vf - vr).max()) / scale
-        assert rel < 5e-5, (
+        # 1e-3: the fused path's erf-approximated gelu (and its exact
+        # derivative form) differ from jax.nn.gelu at the ~1e-7 abs per
+        # element level, amplified through the depth of the backbone
+        assert rel < 1e-3, (
             f"grad mismatch at {jax.tree_util.keystr(pr)}: rel {rel}")
