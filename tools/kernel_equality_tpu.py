@@ -144,14 +144,65 @@ def test_adapter_mid():
                 check(f"{name} {nm}", k, rf, tol_g)
 
 
+def test_ln_lora():
+    """LN+GEMM+shared-LoRA prologue kernel at flagship shapes, bf16,
+    fwd (+act variant) and grads; fp32 is covered by the CPU interpret
+    suite (tests/test_pallas_ln_lora.py) — on-device fp32 compiles of
+    this kernel take ~15 min each."""
+    from mtlora_tpu.ops.pallas_ln_lora import (
+        fused_ln_lora_linear, ln_lora_reference)
+
+    for (M, C, O) in [(401408, 96, 288), (100352, 192, 576),
+                      (6272, 768, 3072)]:
+        r = np.random.RandomState(C)
+        x = jnp.asarray(r.randn(M, C) * 0.5, jnp.bfloat16)
+        g = jnp.asarray(r.randn(C) * 0.1 + 1, jnp.float32)
+        b = jnp.asarray(r.randn(C) * 0.1, jnp.float32)
+        W = jnp.asarray(r.randn(C, O) * 0.05, jnp.bfloat16)
+        bi = jnp.asarray(r.randn(O) * 0.1, jnp.bfloat16)
+        A = jnp.asarray(r.randn(C, 64) * 0.1, jnp.bfloat16)
+        B = jnp.asarray(r.randn(64, O) * 0.1, jnp.bfloat16)
+        seed = jnp.zeros((1,), jnp.int32)
+        for act in (False, True):
+            name = f"ln_lora C={C} O={O} act={act}"
+            fk = jax.jit(lambda *a: fused_ln_lora_linear(
+                *a, seed, 4.0, 0.0, False, act, False))
+            gb16 = g.astype(jnp.bfloat16)
+            bb16 = b.astype(jnp.bfloat16)
+
+            def _ref(*a):
+                return ln_lora_reference(*a, W, bi, A, B, 4.0,
+                                         act=act)[0]
+            check(name + " fwd", fk(x, g, b, W, bi, A, B),
+                  jax.jit(lambda x, g, b: _ref(x, g, b))(x, gb16, bb16),
+                  2e-2)
+
+            def lk(x, g, b):
+                return jnp.mean(fused_ln_lora_linear(
+                    x, g, b, W, bi, A, B, seed, 4.0, 0.0, False, act,
+                    False).astype(jnp.float32) ** 2)
+
+            def lr(x, g, b):
+                return jnp.mean(_ref(x, g, b).astype(jnp.float32) ** 2)
+            gk = jax.jit(jax.grad(lk, argnums=(0, 1, 2)))(x, g, b)
+            gr = jax.jit(jax.grad(lr, argnums=(0, 1, 2)))(x, gb16, bb16)
+            for nm, k, rf in zip(("dx", "dgamma", "dbeta"), gk, gr):
+                check(f"{name} {nm}", k, rf, 5e-2)
+
+
 if __name__ == "__main__":
     plat = jax.devices()[0].platform
     print(f"platform: {plat}")
     if plat == "cpu":
         print("WARNING: running on CPU — compiled-Mosaic coverage requires "
               "a TPU device")
-    test_window_attention()
-    test_adapter_mid()
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only in (None, "attn"):
+        test_window_attention()
+    if only in (None, "adapter"):
+        test_adapter_mid()
+    if only in (None, "ln"):
+        test_ln_lora()
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
         sys.exit(1)
