@@ -128,6 +128,16 @@ class MTLoRASpec:
         )
 
 
+def _manual_ln_f(x, gamma, beta, eps: float = 1e-5):
+    """nn.LayerNorm numerics (fp32 statistics) as a plain function."""
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = (x32 * x32).mean(-1, keepdims=True) - mu * mu
+    out = ((x32 - mu) * jax.lax.rsqrt(var + eps)
+           * gamma.astype(jnp.float32) + beta.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
 def _kaiming_uniform_rows(key, shape, dtype):
     """torch kaiming_uniform_(a=sqrt(5)) on an [r, fan_in]-style tensor:
     U(-1/sqrt(fan_in), 1/sqrt(fan_in)). Here shape is [fan_in, r] (JAX
@@ -176,11 +186,14 @@ class MTLoRALinear(nn.Module):
                 and self.spec.shared_mode != "lora_only")
 
     def _ln_fused(self, x, x_tasks, deterministic, factored_tasks,
-                  ln_params, ln_act=False):
+                  ln_params, ln_act=False, out_drop=False):
         """Fused LayerNorm + frozen GEMM + shared-LoRA path
         (ops/pallas_ln_lora.py). ``x`` is the PRE-norm input; the caller
         guarantees: matrix mode, static shared scale, frozen pretrained,
-        unmerged, and (tasks -> factored with pre-NORMED x_tasks)."""
+        unmerged, and (tasks -> factored with pre-NORMED x_tasks).
+        ``out_drop``: additionally return dropout(y) from a second
+        in-kernel PRNG stream (the next layer's pre-dropped adapter
+        input); returns ``(y, tasks, y_dropped)`` in that case."""
         from mtlora_tpu.ops.pallas_ln_lora import fused_ln_lora_linear
 
         spec = self.spec
@@ -210,6 +223,7 @@ class MTLoRALinear(nn.Module):
                                  param_dtype)).astype(dtype)
         tasks_active = self._tasks_active
         out_p = bool(factored_tasks and tasks_active)
+        out_d = bool(out_drop and drop > 0.0)
         # interpret on CPU hosts (tests); NB the Mosaic PRNG has no CPU
         # interpreter, so dropout>0 requires a real TPU
         interp = jax.default_backend() == "cpu"
@@ -217,12 +231,23 @@ class MTLoRALinear(nn.Module):
             x2, gamma.astype(dtype), beta.astype(dtype),
             kernel.astype(dtype), bias_c, A_s.astype(dtype),
             B_s.astype(dtype), seed, float(spec.shared_scale), drop,
-            out_p, ln_act, interp)
-        y2, p2 = res if out_p else (res, None)
+            out_p, ln_act, out_d, interp)
+        if not (out_p or out_d):
+            y2, p2, d2 = res, None, None
+        else:
+            parts = list(res)
+            y2 = parts.pop(0)
+            p2 = parts.pop(0) if out_p else None
+            d2 = parts.pop(0) if out_d else None
         y = y2.reshape(lead + (self.out_features,))
+        yd = (d2.reshape(lead + (self.out_features,))
+              if d2 is not None else None)
         if not tasks_active:
-            return y, None
+            return (y, None, yd) if out_drop else (y, None)
 
+        assert p2 is not None, (
+            "_ln_fused with active tasks requires factored_tasks=True "
+            "(no materialized-task form exists; caller must gate)")
         T = len(spec.r_tasks)
         r_max = max(spec.r_tasks)
         A_t = self.param("lora_tasks_A", _kaiming_uniform_rows,
@@ -233,18 +258,35 @@ class MTLoRALinear(nn.Module):
             rank_mask = (np.arange(r_max)[None, :]
                          < np.asarray(spec.r_tasks)[:, None])
             A_t = A_t * jnp.asarray(rank_mask, param_dtype)[:, None, :]
-        # x_tasks arrive pre-normed by the caller (manual LN, same
-        # gamma/beta) — project to rank space for the adapter kernel
-        xt2 = x_tasks.astype(dtype).reshape(T, -1, self.in_features)
-        mid1T = jnp.einsum("tmi,tir->trm", xt2, A_t.astype(dtype))
-        return y, FactoredTasks(
+        if x_tasks is None:
+            # no upstream task streams (e.g. FC1_ENABLED without
+            # PROJ_ENABLED): project the shared LN output, mirroring the
+            # unfused fallback below (reference models/lora.py:263).
+            # The reference drops x before both branches; the in-kernel
+            # mask is not visible here, so an independent mask stands in
+            # (train-mode only; same distribution, different stream).
+            xn = _manual_ln_f(x, gamma, beta).astype(dtype)
+            if drop > 0.0:
+                rng = self.make_rng("dropout")
+                keep = jax.random.bernoulli(rng, 1.0 - drop, xn.shape)
+                xn = jnp.where(keep, xn / (1.0 - drop), 0.0)
+            xn = xn.reshape(-1, self.in_features)
+            mid1T = jnp.einsum("mi,tir->trm", xn, A_t.astype(dtype))
+        else:
+            # x_tasks arrive pre-normed by the caller (manual LN, same
+            # gamma/beta) — project to rank space for the adapter kernel
+            xt2 = x_tasks.astype(dtype).reshape(T, -1, self.in_features)
+            mid1T = jnp.einsum("tmi,tir->trm", xt2, A_t.astype(dtype))
+        ft = FactoredTasks(
             pretrained=p2.reshape(lead + (self.out_features,)),
             midT=mid1T, B=B_t.astype(dtype), scales=spec.task_scales)
+        return (y, ft, yd) if out_drop else (y, ft)
 
     @nn.compact
     def __call__(self, x, x_tasks=None, *, deterministic: bool = True,
                  factored_tasks: bool = False, task_factored=None,
-                 ln_params=None, ln_act: bool = False):
+                 ln_params=None, ln_act: bool = False,
+                 out_drop: bool = False, x_dropped=None):
         """``factored_tasks=True`` returns the per-task output as a
         :class:`FactoredTasks` (rank-space) instead of materialized
         ``[T, ..., out]`` streams; ``task_factored=<FactoredTasks>``
@@ -257,7 +299,8 @@ class MTLoRALinear(nn.Module):
         (ops/pallas_ln_lora.py); the caller gates eligibility."""
         if ln_params is not None:
             return self._ln_fused(x, x_tasks, deterministic,
-                                  factored_tasks, ln_params, ln_act)
+                                  factored_tasks, ln_params, ln_act,
+                                  out_drop)
         spec = self.spec
         param_dtype = jnp.float32
         kernel = self.param(
@@ -300,9 +343,16 @@ class MTLoRALinear(nn.Module):
         x_drop = xc
         dropping = spec.dropout > 0.0 and not deterministic
         if dropping:
-            rng = self.make_rng("dropout")
-            keep = jax.random.bernoulli(rng, 1.0 - spec.dropout, xc.shape)
-            x_drop = jnp.where(keep, xc / (1.0 - spec.dropout), 0.0)
+            if x_dropped is not None:
+                # pre-dropped input produced by the upstream LN kernel's
+                # second output (ops/pallas_ln_lora.py out_drop) — the
+                # standalone bernoulli+where pass is skipped
+                x_drop = x_dropped.astype(dtype)
+            else:
+                rng = self.make_rng("dropout")
+                keep = jax.random.bernoulli(rng, 1.0 - spec.dropout,
+                                            xc.shape)
+                x_drop = jnp.where(keep, xc / (1.0 - spec.dropout), 0.0)
 
         # ---- shared branch ------------------------------------------------
         # merged fast path: the shared update is already folded into the
@@ -383,6 +433,11 @@ class MTLoRALinear(nn.Module):
                     FactoredTasks(pretrained=pretrained, midT=mid1T,
                                   B=B_t.astype(dtype),
                                   scales=spec.task_scales)
+            # fold the per-task scale into B so the scale multiply rides
+            # the einsum instead of a standalone [T, M, out] pass (s_t is
+            # [T]-sized; with trainable scales the grad flows through the
+            # tiny premultiply)
+            B_eff = B_t.astype(dtype) * s_t.reshape(T, 1, 1)
             if task_factored is not None:
                 # fused path: gelu(p_prev + s1*mid1@B1) @ A2 inside the
                 # Pallas kernel — the [T, ..., hidden] tensor never
@@ -397,8 +452,7 @@ class MTLoRALinear(nn.Module):
                 interp = jax.default_backend() == "cpu"
                 mid2T = fused_adapter_mid(f.midT, p_prev, f.B, a2T,
                                           f.scales, interp)
-                task_update = jnp.einsum("trm,tro->tmo", mid2T,
-                                         B_t.astype(dtype))
+                task_update = jnp.einsum("trm,tro->tmo", mid2T, B_eff)
                 task_update = task_update.reshape((T,) + pretrained.shape)
             else:
                 # ONE batched-over-tasks low-rank update, tokens
@@ -417,10 +471,8 @@ class MTLoRALinear(nn.Module):
                     mid = jnp.einsum("tmi,tir->tmr", xt2,
                                      A_t.astype(dtype))
                 task_update = jnp.einsum("tmr,tro->tmo", mid,
-                                         B_t.astype(dtype)).reshape(
+                                         B_eff).reshape(
                     (T,) + lead + (self.out_features,))
-            task_update = task_update * s_t.reshape(
-                (T,) + (1,) * (task_update.ndim - 1))
             if mode == "matrixv2" and shared_update is not None:
                 # per-task output also carries the shared update
                 # (reference models/lora.py:270-273); when merged, the

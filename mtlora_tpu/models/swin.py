@@ -38,7 +38,9 @@ from mtlora_tpu.ops.attention import (
     shift_attention_mask,
     window_attention,
 )
-from mtlora_tpu.ops.pallas_window_attn import fused_window_attention
+from mtlora_tpu.ops.pallas_window_attn import (
+    fused_window_attention_windowed,
+)
 from mtlora_tpu.ops.window import (
     shift_window_partition,
     window_merge_unshift,
@@ -62,11 +64,18 @@ def _manual_ln(x, gamma, beta, eps: float = 1e-5):
 
 
 def _ln_fusible(spec: LoRASpec, mtlora: MTLoRASpec, lora_on: bool,
-                M: int, C: int, O: int, dtype) -> bool:
+                M: int, C: int, O: int, dtype,
+                deterministic: bool = True) -> bool:
     """Can a pre-norm input fuse into this MTLoRALinear via
     ops/pallas_ln_lora.py?"""
     from mtlora_tpu.ops.pallas_ln_lora import ln_lora_supported
 
+    # The in-kernel dropout mask comes from the Mosaic PRNG, which has
+    # no CPU interpreter: train-mode dropout on a CPU host routes to the
+    # manual-LN unfused path instead of failing inside the kernel.
+    if (spec.dropout > 0.0 and not deterministic
+            and jax.default_backend() == "cpu"):
+        return False
     # VMEM: the kernel holds the full [C, O] weight; fp32 additionally
     # runs HIGHEST-precision multi-pass matmuls (~3x scratch). Large
     # fp32 layers fall back to the manual-LN path.
@@ -83,11 +92,12 @@ def _ln_fusible(spec: LoRASpec, mtlora: MTLoRASpec, lora_on: bool,
 
 
 def _drop_seed(module, spec: LoRASpec, deterministic: bool):
-    """int32 [1] PRNG seed for the in-kernel dropout mask."""
+    """int32 [2] PRNG seeds for the in-kernel dropout masks (seed[0]:
+    LN-input dropout; seed[1]: the optional dropped second output)."""
     if spec.dropout > 0.0 and not deterministic:
-        return jax.random.randint(module.make_rng("dropout"), (1,), 0,
+        return jax.random.randint(module.make_rng("dropout"), (2,), 0,
                                   2 ** 31 - 1, dtype=jnp.int32)
-    return jnp.zeros((1,), jnp.int32)
+    return jnp.zeros((2,), jnp.int32)
 
 
 class DropPath(nn.Module):
@@ -157,26 +167,41 @@ class Mlp(nn.Module):
             # _ln_fused has no materialized-task form
             ln_ok = (_ln_fusible(self.spec, mtlora, True, M,
                                  self.in_features, self.hidden_features,
-                                 self.dtype or x.dtype)
+                                 self.dtype or x.dtype, deterministic)
                      and (fused or not self.fc1_tasks))
             if ln_ok:
                 seed = _drop_seed(self, self.spec, deterministic)
                 xt_n = (_manual_ln(x_tasks, gamma2, beta2)
                         if (fused and x_tasks is not None) else None)
+                # fc2's shared-adapter branch needs dropout(gelu(fc1));
+                # emit it as a SECOND kernel output (second PRNG
+                # stream) — otherwise that where() runs as a standalone
+                # full-tensor pass (cannot fuse into a pallas output).
+                # Invalid if the hidden nn.Dropout is active (fc2's
+                # input would be re-dropped).
+                want_xd = (self.spec.dropout > 0.0 and not deterministic
+                           and (self.drop == 0.0 or deterministic))
                 # gelu applies INSIDE the kernel (ln_act): elementwise
                 # consumers cannot fuse into a pallas output, so an
                 # outside gelu costs a full extra pass over [M, 4C]
-                x, t = fc1(x, xt_n, deterministic=deterministic,
-                           factored_tasks=fused,
-                           ln_params=(gamma2, beta2, seed), ln_act=True)
+                res = fc1(x, xt_n, deterministic=deterministic,
+                          factored_tasks=fused,
+                          ln_params=(gamma2, beta2, seed), ln_act=True,
+                          out_drop=want_xd)
+                if want_xd:
+                    x, t, xd = res
+                else:
+                    (x, t), xd = res, None
                 x = drop(x)
                 if fused and t is not None:
                     x, t = fc2(x, None, task_factored=t,
-                               deterministic=deterministic)
+                               deterministic=deterministic,
+                               x_dropped=xd)
                 else:
                     if t is not None:
                         t = drop(jax.nn.gelu(t, approximate=False))
-                    x, t = fc2(x, t, deterministic=deterministic)
+                    x, t = fc2(x, t, deterministic=deterministic,
+                               x_dropped=xd)
                 x = drop(x)
                 if t is not None:
                     t = drop(t)
@@ -265,28 +290,36 @@ class WindowAttention(nn.Module):
             use_pallas=self.use_pallas_gemm,
             dtype=self.dtype, name="proj")
 
+        # Permute the INPUT into windowed token order before the qkv
+        # GEMM: LN and the qkv projection are per-token, so they commute
+        # with the window partition, and permuting the C-wide input
+        # costs 1/3 the layout traffic of permuting the 3C-wide qkv
+        # output (the reference CUDA kernel permutes the full qkv,
+        # swin_window_process_kernel.cu:42-67). The qkv output is then
+        # born in window order and feeds the attention core directly.
+        nw = (H // ws) * (W // ws)
+        xw = shift_window_partition(
+            x.reshape(B, H, W, C), ws, shift).reshape(B, L, C)
         if ln1 is not None:
             gamma1, beta1 = ln1
             if _ln_fusible(self.spec, mtlora, self.qkv_lora,
-                           B * L, C, 3 * C, self.dtype or x.dtype):
+                           B * L, C, 3 * C, self.dtype or x.dtype,
+                           deterministic):
                 seed = _drop_seed(self, self.spec, deterministic)
-                qkv_out, _ = qkv(x, deterministic=deterministic,
+                qkv_out, _ = qkv(xw, deterministic=deterministic,
                                  ln_params=(gamma1, beta1, seed))
             else:
-                qkv_out, _ = qkv(_manual_ln(x, gamma1, beta1),
+                qkv_out, _ = qkv(_manual_ln(xw, gamma1, beta1),
                                  deterministic=deterministic)
         else:
-            qkv_out, _ = qkv(x, deterministic=deterministic)  # [B, L, 3C]
+            qkv_out, _ = qkv(xw, deterministic=deterministic)  # windowed
+        qkv_w = qkv_out.reshape(B * nw, N, 3 * C)
         attn_dropping = self.attn_drop > 0 and not deterministic
         if self.use_pallas and not attn_dropping:
-            attn_tok = fused_window_attention(
-                qkv_out.reshape(B, H, W, 3 * C), self.num_heads, rel_bias,
-                ws, shift, shift_mask, scale=self.qk_scale,
-            ).reshape(B, L, C)
+            attn_out = fused_window_attention_windowed(
+                qkv_w, self.num_heads, rel_bias, nw, shift_mask,
+                scale=self.qk_scale)  # [B*nW, N, C]
         else:
-            qkv_w = shift_window_partition(
-                qkv_out.reshape(B, H, W, 3 * C), ws, shift
-            ).reshape(-1, N, 3 * C)
             drop_rng = (self.make_rng("dropout")
                         if attn_dropping else None)
             attn_out = window_attention(
@@ -294,9 +327,9 @@ class WindowAttention(nn.Module):
                 scale=self.qk_scale,
                 dropout_rate=0.0 if deterministic else self.attn_drop,
                 dropout_rng=drop_rng)  # [B*nW, N, C]
-            attn_tok = window_merge_unshift(
-                attn_out.reshape(-1, ws, ws, C), ws, shift, H, W,
-                (B,)).reshape(B, L, C)
+        attn_tok = window_merge_unshift(
+            attn_out.reshape(-1, ws, ws, C), ws, shift, H, W,
+            (B,)).reshape(B, L, C)
         y, y_tasks = proj(attn_tok, deterministic=deterministic)
         pdrop = nn.Dropout(self.proj_drop, deterministic=deterministic)
         y = pdrop(y)
@@ -468,14 +501,38 @@ class PatchMerging(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, x_tasks=None, *, deterministic: bool = True):
+        """``x`` [..., L, C]; optional ``x_tasks`` [T, ..., L, C] run
+        through the SAME parameters (the reference applies the shared
+        downsample module to every stream, swin_transformer_mtlora.py:
+        546-550). Passing tasks here instead of concatenating them onto
+        x avoids a full [T+1, B, L, C] copy + its backward split
+        (measured ~4.5 ms/step on the flagship trace)."""
         H, W = self.input_resolution
         *lead, L, C = x.shape
         assert L == H * W and H % 2 == 0 and W % 2 == 0
 
         if self.spec.r_shared == 0:
-            return self._folded(x, H, W, C, lead)
+            gamma, beta = _LNParams(4 * C, name="norm")()
+            kernel = _KernelParam((4 * C, 2 * C), name="reduction")()
+            if self.freeze_pretrained:
+                kernel = jax.lax.stop_gradient(kernel)
+            out = self._folded(x, H, W, C, lead, gamma, beta, kernel)
+            if x_tasks is None:
+                return out, None
+            T = x_tasks.shape[0]
+            t2 = x_tasks.reshape((-1,) + x_tasks.shape[-2:])
+            out_t = self._folded(t2, H, W, C, [t2.shape[0]], gamma, beta,
+                                 kernel)
+            return out, out_t.reshape((T,) + out.shape)
 
+        # adapter-reduction path (DOWNSAMPLER_ENABLED): batch shared +
+        # task streams through the single module call
+        if x_tasks is not None:
+            T, B = x_tasks.shape[0], x.shape[0]
+            x = jnp.concatenate([x[None], x_tasks], axis=0).reshape(
+                (T + 1) * B, L, C)
+            lead = [(T + 1) * B]
         x = x.reshape(*lead, H, W, C)
         x0 = x[..., 0::2, 0::2, :]
         x1 = x[..., 1::2, 0::2, :]
@@ -490,13 +547,12 @@ class PatchMerging(nn.Module):
                             use_pallas=self.use_pallas_gemm,
                             dtype=self.dtype,
                             name="reduction")(x, deterministic=deterministic)
-        return x
+        if x_tasks is not None:
+            x = x.reshape(T + 1, B, *x.shape[1:])
+            return x[0], x[1:]
+        return x, None
 
-    def _folded(self, x, H, W, C, lead):
-        gamma, beta = _LNParams(4 * C, name="norm")()
-        kernel = _KernelParam((4 * C, 2 * C), name="reduction")()
-        if self.freeze_pretrained:
-            kernel = jax.lax.stop_gradient(kernel)
+    def _folded(self, x, H, W, C, lead, gamma, beta, kernel):
         dtype = self.dtype or x.dtype
         # 6-D view: [.., H/2, ho, W/2, wo, C]; concat block j = 2*wo + ho
         # (reference swin_transformer_mtlora.py:451-455 channel order)
@@ -587,16 +643,9 @@ class BasicLayer(nn.Module):
                                    and self.mtlora.freeze_reduction),
                 use_pallas=self.use_pallas_gemm,
                 dtype=self.dtype, name="downsample")
-            if tasks is not None:
-                # one batched call over [shared + T tasks] streams
-                T, B, L, C = tasks.shape
-                stacked = jnp.concatenate([x[None], tasks], axis=0)
-                stacked = down(stacked.reshape((T + 1) * B, L, C),
-                               deterministic=deterministic)
-                stacked = stacked.reshape(T + 1, B, *stacked.shape[1:])
-                x, tasks = stacked[0], stacked[1:]
-            else:
-                x = down(x, deterministic=deterministic)
+            # shared + task streams share the module's parameters; the
+            # module runs them without stacking copies (default path)
+            x, tasks = down(x, tasks, deterministic=deterministic)
         return x, tasks
 
 

@@ -66,7 +66,8 @@ def _drop_mask(shape, rate):
 
 
 def _fwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
-                brh_ref, y_ref, p_ref, *, scale, drop, out_p, out_act):
+                brh_ref, y_ref, p_ref, d_ref, *, scale, drop, out_p,
+                out_act, out_drop):
     cdt = x_ref.dtype
     x32 = x_ref[...].astype(jnp.float32)
     ln, _, _ = _layer_norm(x32, g_ref[...].astype(jnp.float32),
@@ -97,11 +98,20 @@ def _fwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
     y_ref[...] = y.astype(y_ref.dtype)
     if out_p:
         p_ref[...] = p.astype(p_ref.dtype)
+    if out_drop:
+        # second output: dropout(y) for the NEXT layer's shared-adapter
+        # branch — the standalone where() pass over [M, O] that a
+        # pallas output otherwise forces (cannot fuse consumers)
+        pltpu.prng_seed(seed_ref[1] + pl.program_id(0))
+        keep2 = _drop_mask(y.shape, drop)
+        d_ref[...] = jnp.where(keep2, y / (1.0 - drop),
+                               0.0).astype(d_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
-                brh_ref, gy_ref, gp_ref, dx_ref, dg_ref, db_ref, da_ref,
-                dbr_ref, *, scale, drop, has_gp, out_act):
+                brh_ref, gy_ref, gp_ref, gd_ref, dx_ref, dg_ref, db_ref,
+                da_ref, dbr_ref, *, scale, drop, has_gp, out_act,
+                out_drop):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -128,7 +138,14 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
                             preferred_element_type=jnp.float32,
                             precision=_prec(cdt)).astype(cdt)
 
-    gy = gy_ref[...]  # [Mb, O] cotangent of y (post-gelu when out_act)
+    gy = gy_ref[...].astype(jnp.float32)  # [Mb, O] cotangent of y
+    if out_drop:
+        # the dropped second output d = dropout(y): its cotangent flows
+        # into y through the recomputed keep mask (same seed stream)
+        pltpu.prng_seed(seed_ref[1] + pl.program_id(0))
+        keep2 = _drop_mask(gy.shape, drop)
+        gy = gy + jnp.where(
+            keep2, gd_ref[...].astype(jnp.float32) / (1.0 - drop), 0.0)
     if out_act:
         # recompute pre-activation y and fold dgelu into the cotangent
         p_full = jax.lax.dot_general(lnc, w_ref[...], _DN_STD,
@@ -141,13 +158,13 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
         z_pre = p_full + scale * u_full
         dgelu = _cdf(z_pre) + z_pre * (
             jnp.exp(-0.5 * z_pre * z_pre) * _INV_SQRT_2PI)
-        gy = (gy.astype(jnp.float32) * dgelu).astype(gy.dtype)
+        gy = gy * dgelu
     # pretrained-path cotangent: dp_total = gy (+ gp if p was an output)
-    gp_total = gy.astype(jnp.float32)
+    gp_total = gy
     if has_gp:
         gp_total = gp_total + gp_ref[...].astype(jnp.float32)
     # adapter chain: du = s*gy; dm = du @ B^T; dB += m^T @ du
-    du = (scale * gy.astype(jnp.float32)).astype(cdt)
+    du = (scale * gy).astype(cdt)
     dm = jax.lax.dot_general(du, brh_ref[...],
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
@@ -198,30 +215,39 @@ def ln_lora_supported(M: int, C: int, O: int) -> bool:
     return _row_block(M, C, O) is not None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def fused_ln_lora_linear(x, gamma, beta, kernel, bias, A, B, seed,
                          scale, drop, out_p, out_act=False,
-                         interpret=False):
-    """x [M,C] -> y [M,O] (and PRE-activation p [M,O] when out_p).
+                         out_drop=False, interpret=False):
+    """x [M,C] -> y [M,O] (and PRE-activation p [M,O] when out_p, and
+    d = dropout(y) when out_drop).
 
     y = LN(x)@W + b + scale * (dropout(LN(x)) @ A) @ B; W/b frozen;
-    ``out_act`` applies exact-form gelu to y inside the kernel.
-    ``seed``: int32 [1] array (ignored when drop == 0).
+    ``out_act`` applies exact-form gelu to y inside the kernel;
+    ``out_drop`` additionally emits dropout(y) (rate ``drop``, second
+    PRNG stream) for the next layer's shared-adapter branch.
+    ``seed``: int32 [2] array (ignored when drop == 0).
     """
-    y, p = _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale,
-                    drop, out_p, out_act, interpret)
-    return (y, p) if out_p else y
+    y, p, d = _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale,
+                       drop, out_p, out_act, out_drop, interpret)
+    outs = (y,)
+    if out_p:
+        outs = outs + (p,)
+    if out_drop:
+        outs = outs + (d,)
+    return outs if len(outs) > 1 else y
 
 
 def _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
-             out_p, out_act, interpret):
+             out_p, out_act, out_drop, interpret):
     M, C = x.shape
     O = kernel.shape[1]
     r = A.shape[1]
     Mb = _row_block(M, C, O)
     grid = (M // Mb,)
     kern = functools.partial(_fwd_kernel, scale=scale, drop=drop,
-                             out_p=out_p, out_act=out_act)
+                             out_p=out_p, out_act=out_act,
+                             out_drop=out_drop)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
         pl.BlockSpec((Mb, C), lambda i: (i, 0),
@@ -233,48 +259,63 @@ def _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # A
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # B
     ]
-    out_specs = (
-        pl.BlockSpec((Mb, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Mb, O), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )
+
+    def _opt_spec(on):
+        return (pl.BlockSpec((Mb, O), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM) if on
+                else pl.BlockSpec((1, O), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+
     out_shape = (
         jax.ShapeDtypeStruct((M, O), x.dtype),
         jax.ShapeDtypeStruct((M, O) if out_p else (1, O), x.dtype),
+        jax.ShapeDtypeStruct((M, O) if out_drop else (1, O), x.dtype),
     )
-    y, p = pl.pallas_call(
+    y, p, d = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
-        out_specs=(out_specs[0],
-                   out_specs[1] if out_p else pl.BlockSpec(
-                       (1, O), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM)),
+        out_specs=(_opt_spec(True), _opt_spec(out_p),
+                   _opt_spec(out_drop)),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(seed, x, gamma, beta, kernel, bias, A, B)
-    return y, (p if out_p else None)
+    return y, (p if out_p else None), (d if out_drop else None)
 
 
 def _fwd_rule(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
-              out_p, out_act, interpret):
+              out_p, out_act, out_drop, interpret):
     out = fused_ln_lora_linear(x, gamma, beta, kernel, bias, A, B, seed,
-                               scale, drop, out_p, out_act, interpret)
+                               scale, drop, out_p, out_act, out_drop,
+                               interpret)
     return out, (x, gamma, beta, kernel, bias, A, B, seed)
 
 
-def _bwd_rule(scale, drop, out_p, out_act, interpret, res, g):
+def _bwd_rule(scale, drop, out_p, out_act, out_drop, interpret, res, g):
     x, gamma, beta, kernel, bias, A, B, seed = res
-    if out_p:
-        gy, gp = g
+    if out_p or out_drop:
+        parts = list(g)
+        gy = parts.pop(0)
+        gp = parts.pop(0) if out_p else None
+        gd = parts.pop(0) if out_drop else None
     else:
-        gy, gp = g, None
+        gy, gp, gd = g, None, None
     M, C = x.shape
     O = kernel.shape[1]
     r = A.shape[1]
     Mb = _row_block(M, C, O)
     kern = functools.partial(_bwd_kernel, scale=scale, drop=drop,
-                             has_gp=gp is not None, out_act=out_act)
+                             has_gp=gp is not None, out_act=out_act,
+                             out_drop=gd is not None)
     gp_arg = gp if gp is not None else jnp.zeros((1, O), x.dtype)
+    gd_arg = gd if gd is not None else jnp.zeros((1, O), x.dtype)
+
+    def _opt_in(on):
+        return (pl.BlockSpec((Mb, O), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM) if on
+                else pl.BlockSpec((1, O), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
         pl.BlockSpec((Mb, C), lambda i: (i, 0),
@@ -287,10 +328,8 @@ def _bwd_rule(scale, drop, out_p, out_act, interpret, res, g):
         pl.BlockSpec(memory_space=pltpu.VMEM),                    # B
         pl.BlockSpec((Mb, O), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),                    # gy
-        (pl.BlockSpec((Mb, O), lambda i: (i, 0),
-                      memory_space=pltpu.VMEM) if gp is not None
-         else pl.BlockSpec((1, O), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)),             # gp
+        _opt_in(gp is not None),                                  # gp
+        _opt_in(gd is not None),                                  # gd
     ]
     dx, dg, db, da, dbr = pl.pallas_call(
         kern, grid=(M // Mb,),
@@ -317,7 +356,7 @@ def _bwd_rule(scale, drop, out_p, out_act, interpret, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(seed, x, gamma, beta, kernel, bias, A, B, gy, gp_arg)
+    )(seed, x, gamma, beta, kernel, bias, A, B, gy, gp_arg, gd_arg)
     zW = jnp.zeros_like(kernel)
     zb = jnp.zeros((O,), kernel.dtype)
     return (dx, dg[0].astype(gamma.dtype), db[0].astype(beta.dtype),

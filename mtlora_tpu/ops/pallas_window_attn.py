@@ -271,3 +271,24 @@ def fused_window_attention(
                          scale, interpret)
     return window_merge_unshift(
         out.reshape(-1, ws, ws, C), ws, shift, H, W, (B,))
+
+
+def fused_window_attention_windowed(
+    qkv_w: jnp.ndarray,
+    num_heads: int,
+    rel_bias: jnp.ndarray,
+    num_windows: int,
+    shift_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention core on PRE-windowed qkv ``[B*nW, N, 3C]`` (the caller
+    permuted its C-wide INPUT into window order before the qkv GEMM —
+     1/3 the layout traffic of permuting the 3C-wide qkv output).
+    Returns ``[B*nW, N, C]`` in the same window order."""
+    N, C3 = qkv_w.shape[-2:]
+    C = C3 // 3
+    if scale is None:
+        scale = (C // num_heads) ** -0.5
+    return _fused_windows(qkv_w, rel_bias, shift_mask, num_heads,
+                          num_windows, scale, interpret)

@@ -121,6 +121,8 @@ def window_merge_unshift(windows: jnp.ndarray, window_size: int, shift: int,
     if not shift:
         return window_reverse(windows, ws, H, W, lead_shape)
     C = windows.shape[-1]
+    # empty lead_shape infers ONE leading batch dim (-> [B, H, W, C]),
+    # exactly like window_reverse above; both branches agree.
     lead = tuple(lead_shape) if lead_shape else (-1,)
     x2 = windows.reshape(*lead, H * W, C)
     out = _permute_tokens(x2, H, W, ws, shift, True)

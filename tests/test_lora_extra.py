@@ -97,3 +97,27 @@ def test_lora_qkv_linear_parity(enable):
     p["lora_B"] = jnp.asarray(sd["lora_B"].T)
     y = mod.apply({"params": p}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-5)
+
+
+def test_x_dropped_consumed_by_adapter_branch():
+    """MTLoRALinear(x_dropped=...) must feed the pre-dropped tensor to
+    the shared-adapter branch instead of drawing its own mask (the LN
+    kernel's out_drop second output rides this path)."""
+    from mtlora_tpu.models.lora import LoRASpec, MTLoRALinear
+
+    spec = LoRASpec(r_shared=4, shared_scale=2.0, dropout=0.5)
+    mod = MTLoRALinear(8, 12, spec=spec, has_tasks=False)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(16, 8), jnp.float32)
+    xd = jnp.asarray(rs.binomial(1, 0.5, (16, 8)) * 2.0, jnp.float32) * x
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    p = jax.tree.map(
+        lambda a: jnp.asarray(rs.randn(*a.shape) * 0.1, a.dtype),
+        variables["params"])
+    y, _ = mod.apply({"params": p}, x, deterministic=False,
+                     x_dropped=xd, rngs={"dropout": jax.random.PRNGKey(9)})
+    # manual expectation: pretrained(x) + scale * (xd @ A) @ B
+    pre = x @ p["kernel"] + p["bias"]
+    want = pre + 2.0 * (xd @ p["lora_shared_A"]) @ p["lora_shared_B"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -31,7 +31,7 @@ def test_fwd_and_p_match():
     x, g, b, W, bias, A, B = _case(0)
     seed = jnp.zeros((1,), jnp.int32)
     y, p = fused_ln_lora_linear(x, g, b, W, bias, A, B, seed, 4.0, 0.0,
-                                True, False, True)
+                                True, False, False, True)
     yr, pr = ln_lora_reference(x, g, b, W, bias, A, B, 4.0)
     np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-5,
                                rtol=1e-5)
@@ -43,7 +43,7 @@ def test_fwd_act_matches():
     x, g, b, W, bias, A, B = _case(5)
     seed = jnp.zeros((1,), jnp.int32)
     y = fused_ln_lora_linear(x, g, b, W, bias, A, B, seed, 4.0, 0.0,
-                             False, True, True)
+                             False, True, False, True)
     yr, _ = ln_lora_reference(x, g, b, W, bias, A, B, 4.0, act=True)
     # the in-kernel gelu uses the A&S erf approximation (1.5e-7 abs per
     # element, amplified through downstream contractions)
@@ -52,7 +52,7 @@ def test_fwd_act_matches():
 
     def lk(x, A):
         return jnp.sum(jnp.sin(fused_ln_lora_linear(
-            x, g, b, W, bias, A, B, seed, 4.0, 0.0, False, True, True)))
+            x, g, b, W, bias, A, B, seed, 4.0, 0.0, False, True, False, True)))
 
     def lr(x, A):
         return jnp.sum(jnp.sin(ln_lora_reference(
@@ -72,7 +72,7 @@ def test_grads_match():
 
     def lk(x, g, b, A, B):
         return jnp.sum(jnp.sin(fused_ln_lora_linear(
-            x, g, b, W, bias, A, B, seed, 2.0, 0.0, False, False, True)))
+            x, g, b, W, bias, A, B, seed, 2.0, 0.0, False, False, False, True)))
 
     def lr(x, g, b, A, B):
         return jnp.sum(jnp.sin(ln_lora_reference(

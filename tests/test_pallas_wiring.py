@@ -98,3 +98,53 @@ def test_build_plumbs_flags():
         mtl_mod._pallas_available = orig
     assert model.use_pallas and model.use_pallas_gemm \
         and model.use_pallas_adapter
+
+
+def test_ln_fused_fc1_without_proj():
+    """FC1_ENABLED without PROJ_ENABLED: attn emits no task streams, so
+    Mlp calls fc1 with x_tasks=None while the LN-fused factored path is
+    active — regression for the round-2 AttributeError on None
+    (advisor finding, models/lora.py _ln_fused)."""
+    mtl = MTLoRASpec(enabled=True, tasks=("a", "b"),
+                     stage_specs=(SPEC, SPEC), freeze_pretrained=True,
+                     proj_enabled=False)
+    model = SwinTransformerMTLoRA(
+        img_size=32, embed_dim=16, depths=(1, 1), num_heads=(2, 2),
+        window_size=4, mtlora=mtl, drop_path_rate=0.0,
+        use_pallas_ln=True, use_pallas_adapter=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    # numerics must match the unfused module path
+    ref_model = SwinTransformerMTLoRA(
+        img_size=32, embed_dim=16, depths=(1, 1), num_heads=(2, 2),
+        window_size=4, mtlora=mtl, drop_path_rate=0.0,
+        use_pallas_ln=False, use_pallas_adapter=False)
+    ref_outs = ref_model.apply(variables, x)
+    for (x_a, t_a), (x_b, t_b) in zip(outs, ref_outs):
+        np.testing.assert_allclose(x_a, x_b, atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(t_a, t_b, atol=2e-5, rtol=2e-5)
+
+
+def test_ln_fused_cpu_dropout_falls_back():
+    """Train-mode MTLORA dropout on a CPU host must not reach the Mosaic
+    PRNG (no CPU interpreter): _ln_fusible routes to the manual-LN
+    unfused path (advisor finding)."""
+    spec = LoRASpec(r_shared=4, r_tasks=(2, 2), shared_scale=2.0,
+                    task_scales=(1.0, 1.0), shared_mode="matrix",
+                    dropout=0.3)
+    mtl = MTLoRASpec(enabled=True, tasks=("a", "b"),
+                     stage_specs=(spec, spec), freeze_pretrained=True)
+    model = SwinTransformerMTLoRA(
+        img_size=32, embed_dim=16, depths=(1, 1), num_heads=(2, 2),
+        window_size=4, mtlora=mtl, drop_path_rate=0.0,
+        use_pallas_ln=True, use_pallas_adapter=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(
+        variables, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1),
+              "droppath": jax.random.PRNGKey(2)})
+    assert all(np.all(np.isfinite(np.asarray(o[0]))) for o in outs)

@@ -190,6 +190,109 @@ def test_ln_lora():
                 check(f"{name} {nm}", k, rf, 5e-2)
 
 
+def test_ln_lora_dropout():
+    """Train-mode in-kernel dropout (Mosaic PRNG, TPU-only): mask
+    structure + determinism of the out_drop second output, and fwd/bwd
+    mask-consistency probes for BOTH PRNG streams (observed-mask jnp
+    reference; the identity-adapter probe pins the LN-input stream)."""
+    from mtlora_tpu.ops.pallas_ln_lora import fused_ln_lora_linear
+
+    drop = 0.25
+    M, C, O = 100352, 192, 576
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(M, C) * 0.5, jnp.bfloat16)
+    g = jnp.asarray(rs.randn(C) * 0.1 + 1, jnp.float32)
+    b = jnp.asarray(rs.randn(C) * 0.1, jnp.float32)
+    W = jnp.asarray(rs.randn(C, O) * 0.05, jnp.bfloat16)
+    bi = jnp.asarray(rs.randn(O) * 0.1, jnp.bfloat16)
+    A = jnp.asarray(rs.randn(C, 64) * 0.1, jnp.bfloat16)
+    B0 = jnp.zeros((64, O), jnp.bfloat16)
+    seed = jnp.asarray([123, 456], jnp.int32)
+
+    # --- out_drop stream: structure, determinism, grad consistency ----
+    run = jax.jit(lambda x: fused_ln_lora_linear(
+        x, g, b, W, bi, A, B0, seed, 4.0, drop, False, True, True))
+    y1, d1 = run(x)
+    y2, d2 = run(x)
+    yf, df = np.asarray(y1, np.float32), np.asarray(d1, np.float32)
+    same = (np.array_equal(yf, np.asarray(y2, np.float32))
+            and np.array_equal(df, np.asarray(d2, np.float32)))
+    print(f"  out_drop determinism: {'ok' if same else 'FAIL'}")
+    if not same:
+        FAILURES.append("ln out_drop determinism")
+    kept = df != 0.0
+    frac = kept.mean()
+    vals_ok = np.allclose(df[kept], yf[kept] / (1 - drop), rtol=2e-2,
+                          atol=1e-3)
+    print(f"  out_drop keep frac {frac:.4f} (want ~{1 - drop:.2f}), "
+          f"values {'ok' if vals_ok else 'FAIL'}")
+    if not vals_ok or abs(frac - (1 - drop)) > 0.01:
+        FAILURES.append("ln out_drop structure")
+    # grad probe: with B == 0 y is independent of the LN-input mask, so
+    # a jnp reference built from the OBSERVED keep2 mask must match the
+    # kernel's bwd (which recomputes keep2 from seed[1])
+    R = jnp.asarray(rs.randn(M, O) * 0.1, jnp.bfloat16)
+
+    def lk(x):
+        y, d = fused_ln_lora_linear(x, g, b, W, bi, A, B0, seed, 4.0,
+                                    drop, False, True, True)
+        return jnp.sum((d * R).astype(jnp.float32))
+
+    def lr(x):
+        with jax.default_matmul_precision("highest"):
+            x32 = x.astype(jnp.float32)
+            mu = x32.mean(-1, keepdims=True)
+            var = (x32 * x32).mean(-1, keepdims=True) - mu * mu
+            ln = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * g + b)
+            y = jax.nn.gelu(
+                (ln.astype(jnp.bfloat16) @ W).astype(jnp.float32)
+                + bi.astype(jnp.float32), approximate=False)
+            d = jnp.where(jnp.asarray(kept), y / (1 - drop), 0.0)
+            return jnp.sum(d * R.astype(jnp.float32))
+
+    gk = jax.jit(jax.grad(lk))(x)
+    gr = jax.jit(jax.grad(lr))(x)
+    check("ln out_drop dx (observed-mask ref)", gk, gr, 5e-2)
+
+    # --- LN-input stream: identity-adapter probe (O=C, W=0, A=B=I) ---
+    Ci = 192
+    xi = jnp.asarray(rs.randn(M, Ci) * 0.5, jnp.bfloat16)
+    gi = jnp.asarray(rs.randn(Ci) * 0.1 + 1, jnp.float32)
+    bi2 = jnp.asarray(rs.randn(Ci) * 0.1, jnp.float32)
+    Wz = jnp.zeros((Ci, Ci), jnp.bfloat16)
+    bz = jnp.zeros((Ci,), jnp.bfloat16)
+    I = jnp.eye(Ci, dtype=jnp.bfloat16)
+
+    idrun = jax.jit(lambda x: fused_ln_lora_linear(
+        x, gi, bi2, Wz, bz, I, I, seed, 1.0, drop, False, False, False))
+    yid = np.asarray(idrun(xi), np.float32)   # = dropout1(LN(xi))
+    kept1 = yid != 0.0
+    frac1 = kept1.mean()
+    print(f"  LN-input keep frac {frac1:.4f} (want ~{1 - drop:.2f})")
+    if abs(frac1 - (1 - drop)) > 0.01:
+        FAILURES.append("ln input-drop keep frac")
+    Ri = jnp.asarray(rs.randn(M, Ci) * 0.1, jnp.bfloat16)
+
+    def lki(x):
+        y = fused_ln_lora_linear(x, gi, bi2, Wz, bz, I, I, seed, 1.0,
+                                 drop, False, False, False)
+        return jnp.sum((y * Ri).astype(jnp.float32))
+
+    def lri(x):
+        with jax.default_matmul_precision("highest"):
+            x32 = x.astype(jnp.float32)
+            mu = x32.mean(-1, keepdims=True)
+            var = (x32 * x32).mean(-1, keepdims=True) - mu * mu
+            ln = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * gi + bi2)
+            yd = jnp.where(jnp.asarray(kept1), ln / (1 - drop), 0.0)
+            return jnp.sum(yd.astype(jnp.bfloat16).astype(jnp.float32)
+                           * Ri.astype(jnp.float32))
+
+    gki = jax.jit(jax.grad(lki))(xi)
+    gri = jax.jit(jax.grad(lri))(xi)
+    check("ln input-drop dx (identity-adapter probe)", gki, gri, 5e-2)
+
+
 if __name__ == "__main__":
     plat = jax.devices()[0].platform
     print(f"platform: {plat}")
@@ -203,6 +306,8 @@ if __name__ == "__main__":
         test_adapter_mid()
     if only in (None, "ln"):
         test_ln_lora()
+    if only in (None, "lndrop") and plat != "cpu":
+        test_ln_lora_dropout()
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES: {FAILURES}")
         sys.exit(1)
