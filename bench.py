@@ -16,14 +16,26 @@ A100 bf16 (312 TFLOPs) -> ~95 img/s. The north star is >=2x that per
 chip (BASELINE.json).
 """
 
+import argparse
 import json
 import sys
 import time
 
 A100_BASELINE_IMGS_PER_SEC = 95.0
 
+VARIANTS = {
+    "tiny": "mtlora_tiny_448_r64_scale4_pertask.yaml",
+    "small": "mtlora_small_448_r64_scale4_pertask.yaml",
+    "base": "mtlora_base_448_r64_scale4_pertask.yaml",
+}
+
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", choices=sorted(VARIANTS), default="tiny",
+                    help="model scale (the driver metric is the tiny "
+                    "flagship; small/base record scale datapoints)")
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -44,7 +56,7 @@ def main():
     def run(batch_per_chip, use_pallas=True):
         B = batch_per_chip * n_dev
         cfg = load_config(
-            "configs/mtlora/tiny_448/mtlora_tiny_448_r64_scale4_pertask.yaml",
+            "configs/mtlora/tiny_448/" + VARIANTS[args.variant],
             tasks=list(tasks), img_size=img,
             opts=["DATA.BATCH_SIZE", str(B),
                   "TPU.USE_PALLAS", str(use_pallas)])
@@ -102,8 +114,12 @@ def main():
         raise err
 
     per_chip = imgs_per_sec / n_dev
+    metric = "train_images_per_sec_per_chip_swin_t_448_mtlora_4task"
+    if args.variant != "tiny":
+        metric = ("train_images_per_sec_per_chip_swin_"
+                  f"{args.variant[0]}_448_mtlora_4task")
     print(json.dumps({
-        "metric": "train_images_per_sec_per_chip_swin_t_448_mtlora_4task",
+        "metric": metric,
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / A100_BASELINE_IMGS_PER_SEC, 3),

@@ -67,6 +67,18 @@ def parse_option():
     p.add_argument("--disable_wandb", action="store_true")
     p.add_argument("--synthetic-data", action="store_true",
                    help="train on synthetic data (no dataset needed)")
+    # multi-host launch (reference main.py:552-575 torch.distributed env
+    # init; here jax.distributed — on Cloud TPU pods all three default
+    # from the TPU metadata, so none are needed):
+    p.add_argument("--coordinator", type=str,
+                   default=os.environ.get("MTLORA_COORDINATOR"),
+                   help="host:port of process 0 (multi-host)")
+    p.add_argument("--num-processes", type=int,
+                   default=int(os.environ.get("MTLORA_NUM_PROCESSES", 0))
+                   or None)
+    p.add_argument("--process-id", type=int,
+                   default=int(os.environ.get("MTLORA_PROCESS_ID", -1))
+                   if os.environ.get("MTLORA_PROCESS_ID") else None)
     # accepted for reference-CLI compatibility (no-ops on TPU):
     p.add_argument("--local_rank", type=int, default=0)
     p.add_argument("--fused_window_process", action="store_true")
@@ -113,6 +125,20 @@ def build_all(config, logger):
 
 def main(args, config):
     import jax
+    import numpy as np
+
+    from mtlora_tpu.parallel.distributed import initialize
+
+    # multi-host wiring (reference main.py:552-575): join the global
+    # mesh, then rank-offset the HOST-SIDE randomness (augmentation
+    # draws; ref main.py:570 `seed + rank`). Model/optimizer init and
+    # the jit-internal dropout rng stay at config.SEED — SPMD params
+    # must be identical on every process, and sharded-batch dropout is
+    # already globally consistent under jit.
+    info = initialize(getattr(args, "coordinator", None),
+                      getattr(args, "num_processes", None),
+                      getattr(args, "process_id", None))
+    np.random.seed(config.SEED + info["rank"])
 
     from mtlora_tpu.ckpt.checkpoint import (
         auto_resume_helper, load_checkpoint, save_checkpoint)
@@ -149,10 +175,15 @@ def main(args, config):
                               length=16, db_name=config.DATA.DBNAME,
                               transform=tr_val, seed=1)
         loader_train = DataLoader(ds_train, config.DATA.BATCH_SIZE,
-                                  num_workers=config.DATA.NUM_WORKERS)
+                                  num_workers=config.DATA.NUM_WORKERS,
+                                  seed=config.SEED,
+                                  process_index=info["rank"],
+                                  process_count=info["world"])
         loader_val = DataLoader(ds_val, config.DATA.BATCH_SIZE,
                                 shuffle=False, drop_last=False,
-                                num_workers=config.DATA.NUM_WORKERS)
+                                num_workers=config.DATA.NUM_WORKERS,
+                                process_index=info["rank"],
+                                process_count=info["world"])
     else:
         from mtlora_tpu.data.loader import build_loader
 
@@ -208,12 +239,23 @@ def main(args, config):
             batch_stats=params.get("batch_stats", state.batch_stats))
         logger.info(f"loaded pretrained {config.MODEL.PRETRAINED}")
 
+    from mtlora_tpu.parallel.distributed import barrier
+
+    # replicate_tree's device_put runs a cross-process equality check —
+    # the first collective; align processes after the (possibly skewed)
+    # init compiles
+    barrier("pre_replicate")
     state = replicate_tree(state, mesh)
     train_step = jit_train_step(
         make_train_step(model, tx, config.TASKS,
                         accum_steps=config.TRAIN.ACCUMULATION_STEPS),
         mesh)
-    eval_step = jit_eval_step(make_eval_step(model), mesh)
+    # fp32 eval clone by default (reference runs validate() outside
+    # autocast, main.py:473); TPU.EVAL_DTYPE=bfloat16 for the fast path
+    from mtlora_tpu.models.mtl import eval_model_for
+
+    eval_model = eval_model_for(model, config)
+    eval_step = jit_eval_step(make_eval_step(eval_model), mesh)
 
     log_fn = _wandb_log_fn(args, config, logger)
 
@@ -232,10 +274,12 @@ def main(args, config):
                 state.params, MTLoRASpec.from_config(config))
             state = state.replace(params=merged_params)
             eval_step = jit_eval_step(
-                make_eval_step(model.clone(mtlora=merged_spec)), mesh)
+                make_eval_step(eval_model.clone(mtlora=merged_spec)),
+                mesh)
             logger.info("merged shared LoRA into kernels (fast eval path)")
-        validate(config, state, eval_step, loader_val, 0, mesh, logger,
-                 log_fn)
+        scores = validate(config, state, eval_step, loader_val, 0, mesh,
+                          logger, log_fn)
+        _dump_scores(config, scores)
         return
 
     logger.info("Start training")
@@ -245,20 +289,34 @@ def main(args, config):
         state, _ = train_one_epoch(config, state, train_step, loader_train,
                                    epoch, mesh, logger, log_fn,
                                    eval_step=eval_step)
-        if jax.process_index() == 0 and (
-                epoch % config.SAVE_FREQ == 0
+        if (epoch % config.SAVE_FREQ == 0
                 or epoch == config.TRAIN.EPOCHS - 1):
+            # EVERY process calls into orbax: its save path runs cross-
+            # process barriers, so a rank-0-only call deadlocks a pod
+            # (orbax itself writes replicated arrays from process 0)
             save_checkpoint(config.OUTPUT, epoch, state, max_accuracy,
                             config_dump=config.dump())
         if epoch % config.EVAL_FREQ == 0 or (
                 getattr(args, "no_eval_50", True) and epoch == 50):
             validate(config, state, eval_step, loader_val, epoch, mesh,
                      logger, log_fn)
-    validate(config, state, eval_step, loader_val, epoch, mesh, logger,
-             log_fn)
+    scores = validate(config, state, eval_step, loader_val, epoch, mesh,
+                      logger, log_fn)
+    _dump_scores(config, scores)
     total = time.perf_counter() - start
     logger.info(
         f"Training time {datetime.timedelta(seconds=int(total))}")
+
+
+def _dump_scores(config, scores):
+    """Write the final task-score dict per process (rank-suffixed when
+    multi-host) — machine-readable eval results next to the log."""
+    import jax
+
+    path = os.path.join(config.OUTPUT,
+                        f"val_scores_r{jax.process_index()}.json")
+    with open(path, "w") as f:
+        json.dump(scores, f, default=float, indent=1)
 
 
 def main_classification(args, config):
@@ -368,6 +426,13 @@ def _wandb_log_fn(args, config, logger):
 
 
 if __name__ == "__main__":
+    if os.environ.get("MTLORA_PLATFORM"):
+        # the environment may force a TPU platform at interpreter start
+        # (sitecustomize); tests drive multi-process CPU-mesh runs of
+        # this CLI via this override (see tests/mp_worker.py note)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MTLORA_PLATFORM"])
     args, config = parse_option()
     import numpy as np
 

@@ -40,7 +40,9 @@ def save_checkpoint(output_dir: str, epoch: int, state,
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    if config_dump:
+    import jax
+
+    if config_dump and jax.process_index() == 0:
         with open(os.path.join(output_dir, "config.yaml"), "w") as f:
             f.write(config_dump)
     if keep > 0:

@@ -320,6 +320,10 @@ def default_config() -> ConfigNode:
     # with dropout falls back to the manual-LN path)
     C.TPU.USE_PALLAS_LN = True
     C.TPU.COMPUTE_DTYPE = "bfloat16"  # compute precision under AMP_ENABLE
+    # eval/validate forward precision: "float32" matches the reference
+    # (validate() runs OUTSIDE autocast, ref main.py:473); "bfloat16"
+    # keeps the fast Pallas eval path (metrics bf16-quantized)
+    C.TPU.EVAL_DTYPE = "float32"
     C.TPU.REMAT = False              # jax.checkpoint over Swin blocks
 
     return C

@@ -10,8 +10,12 @@ native C++ image ops (``mtlora_tpu/data/native``) when built.
 
 Notably the reference's MTL path uses a plain shuffling DataLoader with
 NO DistributedSampler (SURVEY.md section 2.2); here sharding is explicit:
-every host builds the full global batch (single-host harness) or its
-process-local shard via ``epoch_indices`` partitioning.
+pass ``process_index``/``process_count`` and every process draws the SAME
+deterministic (seed, epoch)-keyed permutation, then takes its contiguous
+per-batch slice — the global batch across processes is exactly the
+single-process batch, and ``parallel.distributed.global_batch_from_local``
+reassembles it on the device mesh. Multi-process loading drops the final
+ragged global batch (shapes must match across processes for SPMD).
 """
 
 from __future__ import annotations
@@ -41,26 +45,56 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 2,
                  seed: int = 0, prefetch: int = 4,
-                 process_fn: Optional[Callable] = None):
+                 process_fn: Optional[Callable] = None,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch; with ``process_count`` > 1
+        each process loads its ``batch_size / process_count`` rows of
+        every global batch (row block ``process_index``)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self.process_fn = process_fn
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1:
+            assert batch_size % process_count == 0, (
+                f"global batch {batch_size} must divide across "
+                f"{process_count} processes")
+        self.local_batch_size = batch_size // process_count
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else \
-            -(-n // self.batch_size)
+        if self.drop_last or self.process_count > 1:
+            # multi-process: every process must run the same number of
+            # SPMD steps, so the ragged final global batch is dropped
+            return n // self.batch_size
+        return -(-n // self.batch_size)
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
+        """This process's sample indices for ``epoch``.
+
+        The permutation is a pure function of (seed, epoch) — identical
+        on every process and on every call, so resume-at-epoch-N replays
+        the exact original stream (the reference reseeds torch globally,
+        main.py:570-575; a mutable-RNG draw here would make the shuffle
+        depend on call order)."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.RandomState(self.rng.randint(2 ** 31) + epoch
-                                  ).shuffle(idx)
+            np.random.RandomState(
+                np.array([self.seed, epoch], np.uint32)).shuffle(idx)
+        if self.process_count > 1:
+            nb = len(self)
+            lbs = self.local_batch_size
+            idx = idx[: nb * self.batch_size]
+            # row block `process_index` of every global batch, so shard r
+            # of the reassembled global array holds the same rows as the
+            # single-process batch
+            idx = idx.reshape(nb, self.process_count, lbs)
+            return idx[:, self.process_index, :].reshape(-1)
         if self.drop_last:
             idx = idx[: len(self) * self.batch_size]
         return idx
@@ -70,10 +104,10 @@ class DataLoader:
 
     def iter_epoch(self, epoch: int) -> Iterator[Dict]:
         idx = self.epoch_indices(epoch)
-        batches = [idx[i:i + self.batch_size]
-                   for i in range(0, len(idx), self.batch_size)]
-        if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+        bs = self.local_batch_size
+        batches = [idx[i:i + bs] for i in range(0, len(idx), bs)]
+        if self.drop_last or self.process_count > 1:
+            batches = [b for b in batches if len(b) == bs]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         batch_iter = iter(batches)
@@ -135,11 +169,16 @@ def build_loader(config):
     ds_train = DS(split="train", transform=tr_train, **flags,
                   **kwargs_common)
     ds_val = DS(split="val", transform=tr_val, **flags, **kwargs_common)
+    import jax
+
+    rank, world = jax.process_index(), jax.process_count()
     loader_train = DataLoader(ds_train, config.DATA.BATCH_SIZE,
                               shuffle=True, drop_last=True,
                               num_workers=config.DATA.NUM_WORKERS,
-                              seed=config.SEED)
+                              seed=config.SEED,
+                              process_index=rank, process_count=world)
     loader_val = DataLoader(ds_val, config.DATA.BATCH_SIZE, shuffle=False,
                             drop_last=False,
-                            num_workers=config.DATA.NUM_WORKERS)
+                            num_workers=config.DATA.NUM_WORKERS,
+                            process_index=rank, process_count=world)
     return ds_train, ds_val, loader_train, loader_val, None

@@ -273,10 +273,26 @@ class MTLoRALinear(nn.Module):
             xn = xn.reshape(-1, self.in_features)
             mid1T = jnp.einsum("mi,tir->trm", xn, A_t.astype(dtype))
         else:
-            # x_tasks arrive pre-normed by the caller (manual LN, same
-            # gamma/beta) — project to rank space for the adapter kernel
+            # x_tasks arrive RAW (pre-norm): fold the LayerNorm into the
+            # rank-r projection so the normalized [T, M, C] tensor never
+            # materializes —
+            #   LN(xt) @ A = ((xt*gamma) @ A - mu*(gamma@A)) * inv + b@A
+            # with fp32 per-token stats read straight off the bf16 input
             xt2 = x_tasks.astype(dtype).reshape(T, -1, self.in_features)
-            mid1T = jnp.einsum("tmi,tir->trm", xt2, A_t.astype(dtype))
+            xt32 = xt2.astype(jnp.float32)
+            mu = xt32.mean(-1)                           # [T, M]
+            x2b = jax.lax.optimization_barrier(xt2).astype(jnp.float32)
+            var = (x2b * x2b).mean(-1) - mu * mu
+            inv = jax.lax.rsqrt(var + 1e-5)              # [T, M]
+            g32 = gamma.astype(jnp.float32)
+            A32 = A_t.astype(jnp.float32)
+            gA = (A32 * g32[None, :, None]).astype(dtype)  # [T, C, r]
+            proj = jnp.einsum("tmi,tir->trm", xt2, gA,
+                              preferred_element_type=jnp.float32)
+            gAs = jnp.einsum("c,tcr->tr", g32, A32)      # gamma @ A
+            bA = jnp.einsum("c,tcr->tr", beta.astype(jnp.float32), A32)
+            mid1T = ((proj - mu[:, None, :] * gAs[..., None])
+                     * inv[:, None, :] + bA[..., None]).astype(dtype)
         ft = FactoredTasks(
             pretrained=p2.reshape(lead + (self.out_features,)),
             midT=mid1T, B=B_t.astype(dtype), scales=spec.task_scales)
@@ -415,10 +431,25 @@ class MTLoRALinear(nn.Module):
                              < np.asarray(spec.r_tasks)[:, None])
                 A_t = A_t * jnp.asarray(rank_mask, param_dtype)[:, None, :]
             if factored_tasks:
-                # emit rank-space task output; consumer runs the fused
-                # kernel (requires static scales + 'matrix' mode)
+                # emit rank-space task output; the [T, ..., out] stream
+                # materializes only at its final consumer — the fused
+                # adapter kernel or the SwinBlock expansion (requires
+                # static scales + 'matrix' mode)
                 assert mode == "matrix" and not spec.trainable_scale_per_task
-                if x_tasks is None:
+                if task_factored is not None:
+                    # consume the upstream factored stream through the
+                    # adapter kernel AND stay factored on the way out
+                    from mtlora_tpu.ops.pallas_adapter_mlp import (
+                        fused_adapter_mid)
+
+                    f = task_factored
+                    p_prev = f.pretrained.astype(dtype).reshape(
+                        -1, self.in_features)
+                    a2T = jnp.swapaxes(A_t.astype(dtype), 1, 2)
+                    interp = jax.default_backend() == "cpu"
+                    mid1T = fused_adapter_mid(f.midT, p_prev, f.B, a2T,
+                                              f.scales, interp)
+                elif x_tasks is None:
                     mid1T = jnp.einsum(
                         "mi,tir->trm",
                         x_drop.reshape(-1, self.in_features),
@@ -489,6 +520,40 @@ class MTLoRALinear(nn.Module):
         if shared_update is None:
             return pretrained, y_tasks
         return pretrained + shared_update, y_tasks
+
+
+def expand_factored_tasks(f: FactoredTasks, lead, drop_path: float = 0.0,
+                          deterministic: bool = True, rng=None,
+                          base=None):
+    """Materialize a factored task stream in ONE fused pass:
+
+        y_t = base_t + DropPath(pretrained + s_t * mid_t^T B_t)
+
+    The rank expansion, the pretrained broadcast add, the stochastic-
+    depth mask, and the residual add fuse into a single [T, ..., out]
+    write — versus the module path's separate task-einsum output,
+    y_tasks add, and DropPath where() passes (each a full-width
+    read+write). ``base`` is the residual ([*lead, out], broadcast over
+    T, e.g. the attention shortcut) or None (reference quirk: no
+    shortcut when only the MLP produced task streams,
+    swin_transformer_mtlora.py:401-403)."""
+    T = f.B.shape[0]
+    C = f.B.shape[-1]
+    s = jnp.asarray(f.scales, f.B.dtype).reshape(T, 1, 1)
+    up = jnp.einsum("trm,tro->tmo", f.midT, f.B * s)
+    y = f.pretrained.reshape(1, -1, C) + up           # [T, M, C]
+    y = y.reshape((T,) + tuple(lead) + (C,))
+    if drop_path > 0.0 and not deterministic:
+        keep = 1.0 - drop_path
+        mask_shape = (T,) + tuple(lead[:-1]) + (1, 1)
+        mask = jax.random.bernoulli(rng, keep, mask_shape)
+        # reciprocal-multiply: a broadcast f32 divide over [T, M, C] runs
+        # ~60% the bandwidth of a multiply on the VPU (measured 7.7 ms
+        # div fusion at stage 0)
+        y = jnp.where(mask, y * (1.0 / keep), 0.0)
+    if base is None:
+        return y
+    return (base[None] if base.ndim == y.ndim - 1 else base) + y
 
 
 class LoRALinear(nn.Module):

@@ -259,3 +259,24 @@ def _pallas_available(config) -> bool:
         return jax.devices()[0].platform != "cpu"
     except Exception:
         return False
+
+
+def eval_model_for(model, config=None):
+    """Eval-precision model clone (reference parity: the reference runs
+    its validate() forward OUTSIDE autocast, i.e. fp32 —
+    /root/reference/main.py:473 vs :478 — while training runs under
+    autocast). Returns a parameter-dtype (fp32) clone with the Pallas
+    kernels disabled: the kernels force HIGHEST-precision fp32 matmuls
+    (minutes of Mosaic compile per shape), while the plain XLA fp32 path
+    at default matmul precision matches the reference's eval numerics
+    (torch on Ampere evaluates with TF32 matmuls).
+
+    Set ``TPU.EVAL_DTYPE: bfloat16`` to keep the fast bf16/Pallas eval
+    path instead (metrics become bf16-quantized).
+    """
+    if (config is not None and str(config.get("TPU", {}).get(
+            "EVAL_DTYPE", "float32")) == "bfloat16"):
+        return model
+    return model.clone(dtype=None, use_pallas=False,
+                       use_pallas_gemm=False, use_pallas_adapter=False,
+                       use_pallas_ln=False)

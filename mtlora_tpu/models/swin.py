@@ -32,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from mtlora_tpu.models.lora import LoRASpec, MTLoRASpec, MTLoRALinear
+from mtlora_tpu.models.lora import (
+    FactoredTasks,
+    LoRASpec,
+    MTLoRALinear,
+    MTLoRASpec,
+    expand_factored_tasks,
+)
 from mtlora_tpu.ops.attention import (
     relative_position_index,
     shift_attention_mask,
@@ -76,12 +82,18 @@ def _ln_fusible(spec: LoRASpec, mtlora: MTLoRASpec, lora_on: bool,
     if (spec.dropout > 0.0 and not deterministic
             and jax.default_backend() == "cpu"):
         return False
-    # VMEM: the kernel holds the full [C, O] weight; fp32 additionally
-    # runs HIGHEST-precision multi-pass matmuls (~3x scratch). Large
-    # fp32 layers fall back to the manual-LN path.
+    # VMEM: the kernel holds the full [C, O] weight, and the backward's
+    # gelu-recompute path additionally needs ~4 fp32 [Mb, O] buffers
+    # (measured: C=1024/O=4096 bf16 act-bwd wants 17.5 MB vs the 16 MB
+    # scoped-vmem limit — Swin-B fc1 must fall back). fp32 runs
+    # HIGHEST-precision multi-pass matmuls (~3x weight scratch).
+    from mtlora_tpu.ops.pallas_ln_lora import _row_block
+
     itemsize = 2 if dtype == jnp.bfloat16 else 4
     passes = 1 if itemsize == 2 else 3
-    if C * O * itemsize * passes > (10 << 20):
+    mb = _row_block(M, C, O) or 128
+    if (C * O * itemsize * passes
+            + 4 * mb * max(C, O) * 4) > (14 << 20):
         return False
     return (lora_on and spec.r_shared > 0
             and spec.shared_mode == "matrix"
@@ -112,7 +124,8 @@ class DropPath(nn.Module):
         shape = x.shape[:-2] + (1, 1)
         keep = 1.0 - self.rate
         mask = jax.random.bernoulli(self.make_rng("droppath"), keep, shape)
-        return jnp.where(mask, x / keep, 0.0)
+        # reciprocal-multiply (divide is ~60% of multiply bandwidth)
+        return jnp.where(mask, x * (1.0 / keep), 0.0)
 
 
 class Mlp(nn.Module):
@@ -131,9 +144,12 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_tasks=None, *, deterministic: bool = True,
-                 ln2=None, mtlora: MTLoRASpec = MTLoRASpec()):
+                 ln2=None, mtlora: MTLoRASpec = MTLoRASpec(),
+                 factored_out: bool = False):
         """``ln2=(gamma, beta)``: ``x``/``x_tasks`` are PRE-norm and
-        norm2 fuses into fc1's GEMMs when eligible."""
+        norm2 fuses into fc1's GEMMs when eligible. ``factored_out``:
+        when the fused adapter path is active, return the task output as
+        a :class:`FactoredTasks` for the caller to expand once."""
         fc1 = MTLoRALinear(self.in_features, self.hidden_features,
                            spec=self.spec, has_tasks=self.fc1_tasks,
                            freeze_pretrained=self.freeze_pretrained,
@@ -171,8 +187,10 @@ class Mlp(nn.Module):
                      and (fused or not self.fc1_tasks))
             if ln_ok:
                 seed = _drop_seed(self, self.spec, deterministic)
-                xt_n = (_manual_ln(x_tasks, gamma2, beta2)
-                        if (fused and x_tasks is not None) else None)
+                # task streams pass RAW: the fc1 factored path folds the
+                # LayerNorm into its rank-r A-projection (lora.py
+                # _ln_fused), so LN(x_tasks) never materializes
+                xt_n = x_tasks if fused else None
                 # fc2's shared-adapter branch needs dropout(gelu(fc1));
                 # emit it as a SECOND kernel output (second PRNG
                 # stream) — otherwise that where() runs as a standalone
@@ -196,14 +214,15 @@ class Mlp(nn.Module):
                 if fused and t is not None:
                     x, t = fc2(x, None, task_factored=t,
                                deterministic=deterministic,
-                               x_dropped=xd)
+                               x_dropped=xd,
+                               factored_tasks=factored_out)
                 else:
                     if t is not None:
                         t = drop(jax.nn.gelu(t, approximate=False))
                     x, t = fc2(x, t, deterministic=deterministic,
                                x_dropped=xd)
                 x = drop(x)
-                if t is not None:
+                if t is not None and not isinstance(t, FactoredTasks):
                     t = drop(t)
                 return x, t
             else:
@@ -218,13 +237,14 @@ class Mlp(nn.Module):
         if fused and t is not None:
             # gelu on the task hidden happens inside the fused kernel
             x, t = fc2(x, None, task_factored=t,
-                       deterministic=deterministic)
+                       deterministic=deterministic,
+                       factored_tasks=factored_out)
         else:
             if t is not None:
                 t = drop(jax.nn.gelu(t, approximate=False))
             x, t = fc2(x, t, deterministic=deterministic)
         x = drop(x)
-        if t is not None:
+        if t is not None and not isinstance(t, FactoredTasks):
             t = drop(t)
         return x, t
 
@@ -260,9 +280,13 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x, hw: Tuple[int, int], shift: int,
                  shift_mask=None, *, deterministic: bool = True,
-                 ln1=None, mtlora: MTLoRASpec = MTLoRASpec()):
+                 ln1=None, mtlora: MTLoRASpec = MTLoRASpec(),
+                 factored_tasks: bool = False):
         """``ln1=(gamma, beta)``: ``x`` is PRE-norm and norm1 fuses into
-        the qkv GEMM when eligible (falls back to a manual LN)."""
+        the qkv GEMM when eligible (falls back to a manual LN).
+        ``factored_tasks``: return proj's per-task output as a
+        :class:`FactoredTasks` (rank space) instead of materialized
+        [T, ..., C] streams; the caller expands once."""
         H, W = hw
         B, L, C = x.shape
         ws = self.window_size
@@ -330,10 +354,12 @@ class WindowAttention(nn.Module):
         attn_tok = window_merge_unshift(
             attn_out.reshape(-1, ws, ws, C), ws, shift, H, W,
             (B,)).reshape(B, L, C)
-        y, y_tasks = proj(attn_tok, deterministic=deterministic)
+        y, y_tasks = proj(attn_tok, deterministic=deterministic,
+                          factored_tasks=factored_tasks and
+                          self.proj_tasks)
         pdrop = nn.Dropout(self.proj_drop, deterministic=deterministic)
         y = pdrop(y)
-        if y_tasks is not None:
+        if y_tasks is not None and not factored_tasks:
             y_tasks = pdrop(y_tasks)
         return y, y_tasks
 
@@ -390,6 +416,17 @@ class SwinBlock(nn.Module):
 
         mask = (jnp.asarray(shift_attention_mask(H, W, ws, shift))
                 if shift > 0 else None)
+        # factored task streams: proj emits rank-space task outputs and
+        # the expansion to [T, B, L, C] happens ONCE, fused with the
+        # shortcut add and the stochastic-depth mask — the module path's
+        # separate task-einsum, +pretrained, and DropPath passes (each a
+        # full-width read+write) collapse into a single write
+        fact = (self.use_pallas_adapter and proj_tasks
+                and self.spec.shared_mode == "matrix"
+                and len(self.spec.r_tasks) > 0
+                and max(self.spec.r_tasks) > 0
+                and not self.spec.trainable_scale_per_task
+                and (self.drop == 0.0 or deterministic))
         attn = WindowAttention(
             dim=C, window_size=ws, num_heads=self.num_heads,
             spec=self.spec,
@@ -404,13 +441,20 @@ class SwinBlock(nn.Module):
             dtype=self.dtype, name="attn")
         aw, aw_tasks = attn(x, (H, W), shift, mask,
                             deterministic=deterministic, ln1=ln1,
-                            mtlora=m)
+                            mtlora=m, factored_tasks=fact)
 
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(aw, deterministic=deterministic)
 
         attn_tasks = None
-        if aw_tasks is not None:
+        if isinstance(aw_tasks, FactoredTasks):
+            rng = (self.make_rng("droppath")
+                   if self.drop_path > 0.0 and not deterministic
+                   else None)
+            attn_tasks = expand_factored_tasks(
+                aw_tasks, (B, L), self.drop_path, deterministic, rng,
+                base=shortcut)
+        elif aw_tasks is not None:
             # task streams emerge in token layout directly — the
             # reference's per-task window_reverse+roll (:378-390) is gone
             attn_tasks = shortcut[None] + dp(aw_tasks,
@@ -428,21 +472,29 @@ class SwinBlock(nn.Module):
             g2, b2 = _LNParams(C, name="norm2")()
             mlp_out, mlp_tasks = mlp(x, attn_tasks,
                                      deterministic=deterministic,
-                                     ln2=(g2, b2), mtlora=m)
+                                     ln2=(g2, b2), mtlora=m,
+                                     factored_out=True)
         else:
             norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                  name="norm2")
             mlp_out, mlp_tasks = mlp(
                 norm2(x),
                 norm2(attn_tasks) if attn_tasks is not None else None,
-                deterministic=deterministic)
+                deterministic=deterministic, factored_out=True)
         x = x + dp(mlp_out, deterministic=deterministic)
 
         if mlp_tasks is None:
             return x, attn_tasks
+        if isinstance(mlp_tasks, FactoredTasks):
+            rng = (self.make_rng("droppath")
+                   if self.drop_path > 0.0 and not deterministic
+                   else None)
+            # quirk preserved: no shortcut when only the MLP produced
+            # task streams (reference :401-403)
+            return x, expand_factored_tasks(
+                mlp_tasks, (B, L), self.drop_path, deterministic, rng,
+                base=attn_tasks)
         if attn_tasks is None:
-            # quirk preserved: no shortcut on task streams when only the
-            # MLP produced them (reference :401-403)
             return x, dp(mlp_tasks, deterministic=deterministic)
         return x, attn_tasks + dp(mlp_tasks, deterministic=deterministic)
 
@@ -567,7 +619,12 @@ class PatchMerging(nn.Module):
             f = xr.astype(jnp.float32)
             n = 4 * C
             mu = f.sum(axis=(-4, -2, -1)) / n        # [.., H/2, W/2]
-            var = (f * f).sum(axis=(-4, -2, -1)) / n - mu * mu
+            # optimization_barrier: break CSE between the two reductions'
+            # casts — a SHARED fp32 cast node gets materialized to HBM
+            # (full-size fp32 write + two reads); with separate casts
+            # each reduction fuses its own bf16 read
+            f2 = jax.lax.optimization_barrier(xr).astype(jnp.float32)
+            var = (f2 * f2).sum(axis=(-4, -2, -1)) / n - mu * mu
             return mu, var
 
         mu, var = _stats(xr)

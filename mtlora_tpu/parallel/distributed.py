@@ -38,6 +38,33 @@ def initialize(coordinator_address: Optional[str] = None,
     }
 
 
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Coordination-service barrier (control plane, NOT a device
+    collective). Used to align processes right before their FIRST
+    device/gloo collective: on CPU test meshes gloo context init has a
+    hard 30 s key-value handshake that compile-time skew (one process
+    hitting a warm compile cache the other just wrote) easily exceeds.
+    No-op single-process; swallows errors on backends without a
+    coordination client."""
+    if jax.process_count() == 1:
+        return
+    # unique id per call: barrier names cannot be reused, and every
+    # process runs the same control flow so the counters stay in step
+    global _barrier_seq
+    _barrier_seq += 1
+    try:
+        from jax._src import distributed
+
+        if distributed.global_state.client is not None:
+            distributed.global_state.client.wait_at_barrier(
+                f"{name}_{_barrier_seq}", timeout_ms)
+    except Exception:
+        pass
+
+
+_barrier_seq = 0
+
+
 def global_batch_from_local(local_batch: Dict, mesh) -> Dict:
     """Assemble a globally-sharded batch from per-process local shards."""
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -25,6 +25,14 @@ from mtlora_tpu.utils.logger import AverageMeter
 def _device_batch(batch: Dict, mesh=None):
     batch = {k: v for k, v in batch.items() if "meta" not in k}
     if mesh is not None:
+        if jax.process_count() > 1:
+            # each process loaded its row block of the global batch
+            # (DataLoader process partitioning); reassemble the global
+            # sharded array across hosts
+            from mtlora_tpu.parallel.distributed import (
+                global_batch_from_local)
+
+            return global_batch_from_local(batch, mesh)
         return shard_batch(batch, mesh)
     return jax.tree.map(jax.device_put, batch)
 
@@ -42,18 +50,40 @@ def train_one_epoch(config, state, train_step, loader, epoch: int,
     end = start
     metrics = None
     dev_batch = None
+    metric_sums = None  # device-side running sums over EVERY step
+    n_acc = 0
     last_sync = -1  # batch index of the previous hard sync
     for idx, batch in enumerate(loader.iter_epoch(epoch)):
         bsz = batch["image"].shape[0]
         dev_batch = _device_batch(batch, mesh)
+        if idx == 0 and jax.process_count() > 1:
+            # compile BEFORE the barrier so all processes reach the
+            # first device collective together regardless of
+            # compile-time skew (gloo context init hard-timeouts at
+            # 30 s on CPU test meshes)
+            from mtlora_tpu.parallel.distributed import barrier
+
+            try:
+                train_step.lower(state, dev_batch).compile()
+            except AttributeError:
+                pass
+            barrier(f"train_epoch{epoch}")
         state, metrics = train_step(state, dev_batch)
+        # every-step epoch averages accumulate ON DEVICE (lazy scalar
+        # adds; no host sync) — the reference averages every batch
+        # (main.py:355-366), and a PRINT_FREQ-subsampled average skews
+        # the reported curves
+        if metric_sums is None:
+            metric_sums = dict(metrics)
+        else:
+            metric_sums = {k: metric_sums[k] + metrics[k]
+                           for k in metric_sums}
+        n_acc += 1
         # async dispatch: only sync for logging at PRINT_FREQ
         if idx % config.PRINT_FREQ == 0 or idx == num_steps - 1:
             metrics = jax.tree.map(float, jax.device_get(metrics))
             loss_meter.update(metrics["loss"], bsz)
             norm_meter.update(metrics["grad_norm"])
-            for t in config.TASKS:
-                task_meters[t].update(metrics[f"loss_{t}"], bsz)
             # the sync drains all device work queued since the last sync,
             # i.e. idx - last_sync batches
             batch_time.update((time.perf_counter() - end)
@@ -74,6 +104,13 @@ def train_one_epoch(config, state, train_step, loader, epoch: int,
                            for t in config.TASKS},
                         "epoch": epoch, "step": idx})
         end = time.perf_counter()
+    if metric_sums is not None:
+        # ONE host sync for the exact epoch averages
+        sums = jax.tree.map(float, jax.device_get(metric_sums))
+        loss_meter = AverageMeter()
+        loss_meter.update(sums["loss"] / n_acc, n_acc)
+        for t in config.TASKS:
+            task_meters[t].update(sums[f"loss_{t}"] / n_acc, n_acc)
     # training-set eval on the last batch every EVAL_TRAINING epochs
     # (reference main.py:403-412)
     eval_training = config.get("EVAL_TRAINING", None)
@@ -139,17 +176,30 @@ def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
     states = meter.states
     loss_sums = {t: jnp.zeros(()) for t in tasks}
     loss_sums["_n"] = jnp.zeros(())
+    first = True
     for batch in loader.iter_epoch(0):
         bsz = batch["image"].shape[0]
         dev_batch = _device_batch(batch, mesh)
+        if first and jax.process_count() > 1:
+            from mtlora_tpu.parallel.distributed import barrier
+
+            try:
+                eval_step.lower(state.params, state.batch_stats,
+                                dev_batch["image"]).compile()
+            except AttributeError:
+                pass
+            barrier(f"validate_e{epoch}")
+            first = False
         preds = eval_step(state.params, state.batch_stats,
                           dev_batch["image"])
         targets = {t: dev_batch[t] for t in tasks}
         states, loss_sums = update_jit(states, loss_sums, preds, targets,
                                        float(bsz))
-    from mtlora_tpu.parallel.distributed import allreduce_meter_states
-
-    meter.states = jax.device_get(allreduce_meter_states(states))
+    # NOTE: no cross-host allreduce here — update_jit consumed GLOBAL
+    # sharded batches (SPMD), so `states` is already the global sum,
+    # replicated on every process. allreduce_meter_states remains for
+    # host-side local-update patterns (e.g. evaluation/offline.py).
+    meter.states = jax.device_get(states)
     loss_sums = jax.device_get(loss_sums)
     n = max(float(loss_sums["_n"]), 1.0)
     loss_avgs = {t: float(loss_sums[t]) / n for t in tasks}
@@ -174,13 +224,19 @@ def throughput(config, state, eval_step, loader=None, mesh=None,
     dev_batch = _device_batch(batch, mesh)
     images = dev_batch["image"]
     B = images.shape[0]
+    def _hard_sync(out):
+        # block_until_ready can return early on the experimental axon
+        # platform; a host fetch of one scalar is the reliable barrier
+        # (same methodology as bench.py)
+        float(jax.device_get(jax.tree.leaves(out)[0].ravel()[0]))
+
     for _ in range(warmup):
         out = eval_step(state.params, state.batch_stats, images)
-    jax.block_until_ready(out)
+    _hard_sync(out)
     t0 = time.perf_counter()
     for _ in range(timed):
         out = eval_step(state.params, state.batch_stats, images)
-    jax.block_until_ready(out)
+    _hard_sync(out)
     dt = time.perf_counter() - t0
     rate = timed * B / dt
     if logger:

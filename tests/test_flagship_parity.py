@@ -235,3 +235,47 @@ def test_window_clamp_parity_224px_ws7():
         b = np.asarray(out_jax[task])
         err = _rel_err(a, b)
         assert err < 2e-3, f"{task}: rel err {err}"
+
+
+def _scale_parity_case(cfg_path, img, seed=11):
+    """Per-stage + task-output parity for a scaled variant (batch 1)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    cfg = load_config(cfg_path, tasks=TASKS4, img_size=img,
+                      opts=["AMP_ENABLE", "False"])
+    ref = _randomize(build_reference_model(cfg, TASKS4), seed)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    x = np.random.RandomState(seed).randn(1, 3, img, img).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x))
+    model = build_mtl_model(cfg)
+    x_jax = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x_jax)
+    variables = merge_converted(variables,
+                                convert_torch_state_dict(sd, TASKS4))
+    out_jax = jax.jit(model.apply)(variables, x_jax)
+    for task in TASKS4:
+        a = out_ref[task].numpy().transpose(0, 2, 3, 1)
+        err = _rel_err(a, np.asarray(out_jax[task]))
+        assert err < 2e-3, f"{task}: rel err {err}"
+
+
+def test_swin_s_448_parity():
+    """Swin-S (depths [2,2,18,2]) at 448 — the shipped
+    mtlora_small_448 config vs the torch oracle (round-2 verdict:
+    S/B configs were dark)."""
+    _scale_parity_case(os.path.join(
+        os.path.dirname(CFG), "mtlora_small_448_r64_scale4_pertask.yaml"),
+        448)
+
+
+def test_swin_b_224_parity():
+    """Swin-B (embed 128 -> C up to 1024) — exercises the
+    _ln_fusible/attention-kernel VMEM gating at C=1024 shapes; 224px to
+    bound torch-CPU runtime (the gating depends on channel width, not
+    resolution)."""
+    _scale_parity_case(os.path.join(
+        os.path.dirname(CFG), "mtlora_base_448_r64_scale4_pertask.yaml"),
+        224, seed=12)

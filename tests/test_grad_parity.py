@@ -60,7 +60,8 @@ def to_jax_grad_path(torch_name, torch_grad, tasks):
     return tuple(path), torch_grad
 
 
-def test_trainable_grad_parity():
+@pytest.mark.parametrize("intermediate", [False, True])
+def test_trainable_grad_parity(intermediate):
     import torch
     import jax
     import jax.numpy as jnp
@@ -81,6 +82,8 @@ def test_trainable_grad_parity():
                             "MODEL.SWIN.WINDOW_SIZE", "4",
                             "MODEL.MTLORA.R", "[8]",
                             "MODEL.MTLORA.R_PER_TASK", "{}",
+                            "MODEL.MTLORA.INTERMEDIATE_SPECIALIZATION",
+                            str(intermediate),
                             "AMP_ENABLE", "False"])
     ref = build_reference_model(cfg, TASKS4)
     g = torch.Generator().manual_seed(0)

@@ -73,12 +73,16 @@ def jnp_attention(qkv_map, num_heads, rel_bias, ws, shift, mask, B, H, W,
 
 def test_window_attention():
     ws, B = 7, 2
-    # flagship stage shapes at 448: (C, nH, H=W)
+    # flagship stage shapes at 448: (C, nH, H=W); the C=1024/nH=32 row
+    # is the Swin-B boundary (VMEM group-cap gating), bf16 only — fp32
+    # HIGHEST-precision Mosaic compiles cost ~10 min per shape
     for (C, nH, H) in [(96, 3, 112), (192, 6, 56), (384, 12, 28),
-                       (768, 24, 14)]:
+                       (768, 24, 14), (1024, 32, 14)]:
         W = H
-        for dt, tol_f, tol_g in ((jnp.float32, 1e-4, 5e-4),
-                                 (jnp.bfloat16, 2e-2, 3e-2)):
+        dtypes = ((jnp.float32, 1e-4, 5e-4), (jnp.bfloat16, 2e-2, 3e-2))
+        if C > 768:
+            dtypes = ((jnp.bfloat16, 2e-2, 3e-2),)
+        for dt, tol_f, tol_g in dtypes:
             for shift in (0, ws // 2):
                 r = np.random.RandomState(C + shift)
                 qkv = jnp.asarray(r.randn(B, H, W, 3 * C) * 0.5, dt)
@@ -153,7 +157,7 @@ def test_ln_lora():
         fused_ln_lora_linear, ln_lora_reference)
 
     for (M, C, O) in [(401408, 96, 288), (100352, 192, 576),
-                      (6272, 768, 3072)]:
+                      (6272, 768, 3072), (6272, 1024, 4096)]:
         r = np.random.RandomState(C)
         x = jnp.asarray(r.randn(M, C) * 0.5, jnp.bfloat16)
         g = jnp.asarray(r.randn(C) * 0.1 + 1, jnp.float32)
@@ -163,7 +167,11 @@ def test_ln_lora():
         A = jnp.asarray(r.randn(C, 64) * 0.1, jnp.bfloat16)
         B = jnp.asarray(r.randn(64, O) * 0.1, jnp.bfloat16)
         seed = jnp.zeros((1,), jnp.int32)
-        for act in (False, True):
+        # C=1024/O=4096 act=True bwd exceeds the 16 MB scoped-vmem limit
+        # (the model-side _ln_fusible gate rejects it; Swin-B fc1 runs
+        # the manual-LN path)
+        acts = (False,) if C * O * 2 > (8 << 20) else (False, True)
+        for act in acts:
             name = f"ln_lora C={C} O={O} act={act}"
             fk = jax.jit(lambda *a: fused_ln_lora_linear(
                 *a, seed, 4.0, 0.0, False, act, False))

@@ -27,7 +27,7 @@ from mtlora_tpu.data.loader import DataLoader  # noqa: E402
 from mtlora_tpu.data.synthetic import SyntheticMTL  # noqa: E402
 from mtlora_tpu.data.task_config import get_tasks_config  # noqa: E402
 from mtlora_tpu.data.transforms import get_transformations  # noqa: E402
-from mtlora_tpu.evaluation.meters import SemsegMeter, get_output  # noqa: E402
+from mtlora_tpu.evaluation.meters import PerformanceMeter  # noqa: E402
 from mtlora_tpu.models.mtl import build_mtl_model  # noqa: E402
 from mtlora_tpu.parallel.mesh import (  # noqa: E402
     make_mesh, replicate_tree, shard_batch)
@@ -93,7 +93,25 @@ def main():
     train_step = jit_train_step(make_train_step(model, tx, TASKS), mesh)
     eval_step = jit_eval_step(make_eval_step(model), mesh)
 
-    meter = SemsegMeter("PASCALContext")
+    def task_metrics(scores):
+        """(semseg mIoU, parts mIoU, normals mean err, sal maxF)."""
+        return (float(scores["semseg"]["mIoU"]),
+                float(scores["human_parts"]["mIoU"]),
+                float(scores["normals"]["mean"]),
+                float(scores["sal"]["maxF"]))
+
+    def meter_trainset():
+        pm = PerformanceMeter(list(TASKS), "PASCALContext")
+        states = pm.states
+        for batch in loader_eval.iter_epoch(0):
+            preds = eval_step(state.params, state.batch_stats,
+                              shard_batch(jnp.asarray(batch["image"]),
+                                          mesh))
+            targets = {t: jnp.asarray(batch[t]) for t in TASKS}
+            states = pm.update_jit(states, preds, targets)
+        pm.states = jax.device_get(states)
+        return task_metrics(pm.get_score(verbose=False))
+
     print("setup done; entering training", flush=True)
     curve = []
     for ep in range(args.epochs):
@@ -111,24 +129,29 @@ def main():
         if ep % 5 and ep != args.epochs - 1:
             # the cv2 train/eval transform pipeline is host-bound at 448;
             # meter the train set every 5th epoch only
-            curve.append((ep, loss, curve[-1][2] if curve else 0.0))
+            curve.append((ep, loss) + curve[-1][2:] if curve
+                         else (ep, loss, 0.0, 0.0, 0.0, 0.0))
             print(f"epoch {ep:3d}: train loss {loss:8.4f}", flush=True)
             continue
-        ms = meter.init()
-        for batch in loader_eval.iter_epoch(0):
-            out = eval_step(state.params, state.batch_stats,
-                            shard_batch(jnp.asarray(batch["image"]), mesh))
-            pred = get_output(out["semseg"], "semseg")
-            ms = meter.update(ms, pred, jnp.asarray(batch["semseg"]))
-        miou = float(meter.compute(ms)["mIoU"])
-        curve.append((ep, loss, miou))
-        print(f"epoch {ep:3d}: train loss {loss:8.4f}  "
-              f"train-set semseg mIoU {miou:.4f}", flush=True)
+        miou, parts, nmean, maxf = meter_trainset()
+        curve.append((ep, loss, miou, parts, nmean, maxf))
+        print(f"epoch {ep:3d}: train loss {loss:8.4f}  mIoU {miou:.4f}  "
+              f"parts {parts:.4f}  normals-mean {nmean:.2f}  "
+              f"sal-maxF {maxf:.4f}", flush=True)
 
-    first_loss, last_loss = curve[0][1], curve[-1][1]
-    first_miou, last_miou = curve[0][2], curve[-1][2]
-    ok_loss = last_loss < 0.25 * first_loss
-    ok_miou = last_miou > first_miou + 0.1
+    first, last = curve[0], curve[-1]
+    checks = [
+        ("loss collapse", last[1] < 0.25 * first[1],
+         f"{first[1]:.3f} -> {last[1]:.3f} (want < 0.25x)"),
+        ("semseg mIoU rise", last[2] > first[2] + 0.1,
+         f"{first[2]:.3f} -> {last[2]:.3f} (want +0.1)"),
+        ("human_parts mIoU rise", last[3] > first[3] + 0.05,
+         f"{first[3]:.3f} -> {last[3]:.3f} (want +0.05)"),
+        ("normals mean-err fall", last[4] < 0.8 * first[4],
+         f"{first[4]:.2f} -> {last[4]:.2f} (want < 0.8x)"),
+        ("sal maxF rise", last[5] > first[5] + 0.02,
+         f"{first[5]:.3f} -> {last[5]:.3f} (want +0.02)"),
+    ]
     lines = [
         "# Overfit-convergence benchmark (64 synthetic samples, real "
         "train transforms)",
@@ -137,19 +160,22 @@ def main():
         f"batch {args.batch}, {args.epochs} epochs on "
         f"`{jax.devices()[0].device_kind}`. The reference analogue is its "
         "overfit=64 mode (data/mtl_ds.py:160-164) — it has no automated "
-        "convergence check; this records one.",
+        "convergence check; this records one, across ALL FOUR task "
+        "heads (training-dynamics regressions in any head are visible).",
         "",
-        "| epoch | train loss | train-set semseg mIoU |",
-        "|---|---|---|",
+        "| epoch | train loss | semseg mIoU | parts mIoU | "
+        "normals mean err | sal maxF |",
+        "|---|---|---|---|---|---|",
     ]
-    lines += [f"| {e} | {l:.4f} | {m:.4f} |" for (e, l, m) in curve]
-    lines += [
-        "",
-        f"Loss collapse {first_loss:.3f} -> {last_loss:.3f} "
-        f"({'OK' if ok_loss else 'FAIL: < 4x reduction'}); "
-        f"mIoU rise {first_miou:.3f} -> {last_miou:.3f} "
-        f"({'OK' if ok_miou else 'FAIL: < +0.1'}).",
-    ]
+    lines += [f"| {e} | {l:.4f} | {m:.4f} | {p:.4f} | {n:.2f} | {f:.4f} |"
+              for (e, l, m, p, n, f) in curve]
+    lines.append("")
+    ok = True
+    for name, passed, detail in checks:
+        ok = ok and passed
+        lines.append(f"- {name}: {detail} — "
+                     f"{'OK' if passed else 'FAIL'}")
+    ok_loss = ok_miou = ok
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
