@@ -231,7 +231,7 @@ class MTLoRALinear(nn.Module):
             x2, gamma.astype(dtype), beta.astype(dtype),
             kernel.astype(dtype), bias_c, A_s.astype(dtype),
             B_s.astype(dtype), seed, float(spec.shared_scale), drop,
-            out_p, ln_act, out_d, interp)
+            out_p, ln_act, out_d, interpret=interp)
         if not (out_p or out_d):
             y2, p2, d2 = res, None, None
         else:
@@ -258,7 +258,12 @@ class MTLoRALinear(nn.Module):
             rank_mask = (np.arange(r_max)[None, :]
                          < np.asarray(spec.r_tasks)[:, None])
             A_t = A_t * jnp.asarray(rank_mask, param_dtype)[:, None, :]
-        if x_tasks is None:
+        if isinstance(x_tasks, TaskStream):
+            # implicit task streams: LN stats + the rank projection fold
+            # from the shared tensors and rank-space cross terms — the
+            # [T, M, C] task tensor is never read (or written) here
+            mid1T = fold_task_ln_project(x_tasks, gamma, beta, A_t)
+        elif x_tasks is None:
             # no upstream task streams (e.g. FC1_ENABLED without
             # PROJ_ENABLED): project the shared LN output, mirroring the
             # unfused fallback below (reference models/lora.py:263).
@@ -520,6 +525,146 @@ class MTLoRALinear(nn.Module):
         if shared_update is None:
             return pretrained, y_tasks
         return pretrained + shared_update, y_tasks
+
+
+class TaskStream(NamedTuple):
+    """IMPLICIT per-task streams around a shared residual:
+
+        y_t = base + coef_t ⊙ (pre + s_t * mid_t^T B_t)
+
+    (``base`` = attention shortcut, ``pre`` = proj's pretrained output,
+    ``coef`` = per-(task, sample) stochastic-depth coefficient
+    {0, 1/keep} or None for eval). The [T, B, L, C] task tensor never
+    materializes: per-token LayerNorm statistics and the fc1 rank-r
+    projection are computed from the SHARED [B, L, C] tensors plus
+    rank-space cross terms (fold_task_ln_project), and the stream is
+    expanded exactly once at the block output (expand_task_streams)."""
+    base: jnp.ndarray               # [B, L, C]
+    pre: jnp.ndarray                # [B, L, C]
+    midT: jnp.ndarray               # [T, r, M]   (M = B*L)
+    B: jnp.ndarray                  # [T, r, C]
+    scales: Tuple[float, ...]
+    coef: Optional[jnp.ndarray]     # [T, B, 1] or None (== all ones)
+
+
+def fold_task_ln_project(stream: TaskStream, gamma, beta, A_t,
+                         eps: float = 1e-5):
+    """LN(y_t) @ A_t in rank space without materializing y_t.
+
+    With y_t = b + c*(p + u_t), u_t = s_t * B_t^T mid_t:
+      mu_t    = mu_b + c*(mu_p + s_t * rowmean(B_t)·mid_t)
+      E[y²]_t = E[b²] + 2c(E[bp] + E[b·u]) + c²(E[p²] + 2E[p·u] + E[u²])
+      LN(y)@A = inv*((b·γ)@A + c((p·γ)@A + s_t·mid^T(B_t γ)@A)
+                - mu*(γ@A)) + β@A
+    Cross moments with the rank factors reduce to [T, M, r]-sized
+    contractions; only b and p (shared [M, C]) are read at full width.
+    Returns mid1T [T, r1, M] (same contract as the materialized path).
+    """
+    C = stream.base.shape[-1]
+    T, r, M = stream.midT.shape
+    dt = stream.midT.dtype
+    b2 = stream.base.reshape(-1, C).astype(dt)
+    p2 = stream.pre.reshape(-1, C).astype(dt)
+    mid = stream.midT
+    Bm = stream.B
+    s = jnp.asarray(stream.scales, jnp.float32).reshape(T, 1)   # [T,1]
+    if stream.coef is None:
+        c = jnp.ones((T, 1), jnp.float32)
+    else:
+        nB = stream.coef.shape[1]
+        c = stream.coef.reshape(T, nB, 1) * jnp.ones(
+            (T, nB, M // nB), jnp.float32)
+        c = c.reshape(T, M)                                     # [T,M]
+    g32 = gamma.astype(jnp.float32)
+    A32 = A_t.astype(jnp.float32)
+
+    # shared-tensor moments (full-width reads of b and p only)
+    b32 = b2.astype(jnp.float32)
+    p32 = p2.astype(jnp.float32)
+    mu_b = b32.mean(-1)
+    mu_p = p32.mean(-1)
+    e_bb = (b32 * b32).mean(-1)
+    e_pp = (p32 * p32).mean(-1)
+    e_bp = (b32 * p32).mean(-1)
+
+    # rank-space cross moments
+    # bB[t,m,r] = sum_c b[m,c] B[t,r,c]
+    bB = jnp.einsum("mc,trc->tmr", b2, Bm,
+                    preferred_element_type=jnp.float32)
+    pB = jnp.einsum("mc,trc->tmr", p2, Bm,
+                    preferred_element_type=jnp.float32)
+    midf = mid.astype(jnp.float32)
+    mid_m = jnp.swapaxes(midf, 1, 2)                            # [T,M,r]
+    e_bu = s / C * jnp.sum(bB * mid_m, -1)                      # [T,M]
+    e_pu = s / C * jnp.sum(pB * mid_m, -1)
+    G = jnp.einsum("tsc,trc->tsr", Bm, Bm,
+                   preferred_element_type=jnp.float32)          # [T,r,r]
+    tmp = jnp.einsum("tsr,trm->tsm", G, midf)
+    e_uu = (s * s) / C * jnp.sum(midf * tmp, 1)                 # [T,M]
+    mu_u = s / C * jnp.einsum("tr,trm->tm", Bm.sum(-1).astype(
+        jnp.float32), midf)
+
+    mu = mu_b[None] + c * (mu_p[None] + mu_u)                   # [T,M]
+    e_yy = (e_bb[None] + 2 * c * (e_bp[None] + e_bu)
+            + c * c * (e_pp[None] + 2 * e_pu + e_uu))
+    var = jnp.maximum(e_yy - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + eps)                              # [T,M]
+
+    # projections (gamma folded into A)
+    gA = (A32 * g32[None, :, None]).astype(dt)                  # [T,C,r1]
+    bgA = jnp.einsum("mc,tcq->tqm", b2, gA,
+                     preferred_element_type=jnp.float32)        # [T,r1,M]
+    pgA = jnp.einsum("mc,tcq->tqm", p2, gA,
+                     preferred_element_type=jnp.float32)
+    BgA = jnp.einsum("trc,tcq->trq", Bm.astype(dt), gA,
+                     preferred_element_type=jnp.float32)        # [T,r,r1]
+    ugA = s[..., None].swapaxes(1, 2) * jnp.einsum(
+        "trm,trq->tqm", midf, BgA)                              # [T,r1,M]
+    gAs = jnp.einsum("c,tcq->tq", g32, A32)                     # [T,r1]
+    bA = jnp.einsum("c,tcq->tq", beta.astype(jnp.float32), A32)
+    proj = (bgA + c[:, None, :] * (pgA + ugA)
+            - mu[:, None, :] * gAs[..., None])
+    return (inv[:, None, :] * proj + bA[..., None]).astype(dt)
+
+
+def expand_task_streams(stream: TaskStream, f2: Optional[FactoredTasks],
+                        coef2=None):
+    """Materialize the block-output task streams in ONE fused write:
+
+        y_t = base + c1_t ⊙ (pre + s_t mid^T B) [+ c2_t ⊙ (p2 + up2)]
+
+    (second term: the MLP's factored task output with its own
+    stochastic-depth coefficient). Returns [T, B, L, C]."""
+    Bb, L, C = stream.base.shape
+    T = stream.midT.shape[0]
+    dt = stream.base.dtype
+    s = jnp.asarray(stream.scales, dt).reshape(T, 1, 1)
+    up1 = jnp.einsum("trm,tro->tmo", stream.midT, stream.B * s)
+    d1 = stream.pre.reshape(1, -1, C) + up1
+    if stream.coef is not None:
+        d1 = d1.reshape(T, Bb, L, C) * stream.coef.astype(dt)[..., None]
+        d1 = d1.reshape(T, -1, C)
+    y = stream.base.reshape(1, -1, C) + d1
+    if f2 is not None:
+        C2 = f2.B.shape[-1]
+        s2 = jnp.asarray(f2.scales, dt).reshape(T, 1, 1)
+        up2 = jnp.einsum("trm,tro->tmo", f2.midT, f2.B * s2)
+        d2 = f2.pretrained.reshape(1, -1, C2) + up2
+        if coef2 is not None:
+            d2 = d2.reshape(T, Bb, L, C2) * coef2.astype(dt)[..., None]
+            d2 = d2.reshape(T, -1, C2)
+        y = y + d2
+    return y.reshape(T, Bb, L, C)
+
+
+def droppath_coef(rng, rate: float, T: int, B: int, deterministic: bool):
+    """Per-(task, sample) stochastic-depth coefficient in {0, 1/keep};
+    None when inactive (reference DropPath draws one mask per stream)."""
+    if rate <= 0.0 or deterministic:
+        return None
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (T, B, 1))
+    return jnp.where(mask, jnp.float32(1.0 / keep), jnp.float32(0.0))
 
 
 def expand_factored_tasks(f: FactoredTasks, lead, drop_path: float = 0.0,

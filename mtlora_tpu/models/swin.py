@@ -37,7 +37,10 @@ from mtlora_tpu.models.lora import (
     LoRASpec,
     MTLoRALinear,
     MTLoRASpec,
+    TaskStream,
+    droppath_coef,
     expand_factored_tasks,
+    expand_task_streams,
 )
 from mtlora_tpu.ops.attention import (
     relative_position_index,
@@ -448,12 +451,32 @@ class SwinBlock(nn.Module):
 
         attn_tasks = None
         if isinstance(aw_tasks, FactoredTasks):
+            # fully-implicit task streams: when the downstream MLP can
+            # consume them factored (fused adapter + LN-folded fc1),
+            # the [T, B, L, C] attn task tensor never materializes —
+            # stats and the fc1 rank projection come from the shared
+            # tensors + rank-space cross terms (lora.py TaskStream)
+            T = aw_tasks.B.shape[0]
+            hidden = int(C * self.mlp_ratio)
+            stream_ok = (
+                self.use_pallas_ln and fc1_tasks and fc2_tasks
+                and _ln_fusible(self.spec, m, True, B * L, C, hidden,
+                                self.dtype or x.dtype, deterministic))
             rng = (self.make_rng("droppath")
                    if self.drop_path > 0.0 and not deterministic
                    else None)
-            attn_tasks = expand_factored_tasks(
-                aw_tasks, (B, L), self.drop_path, deterministic, rng,
-                base=shortcut)
+            if stream_ok:
+                attn_tasks = TaskStream(
+                    base=shortcut, pre=aw_tasks.pretrained.reshape(
+                        B, L, C),
+                    midT=aw_tasks.midT, B=aw_tasks.B,
+                    scales=aw_tasks.scales,
+                    coef=droppath_coef(rng, self.drop_path, T, B,
+                                       deterministic))
+            else:
+                attn_tasks = expand_factored_tasks(
+                    aw_tasks, (B, L), self.drop_path, deterministic,
+                    rng, base=shortcut)
         elif aw_tasks is not None:
             # task streams emerge in token layout directly — the
             # reference's per-task window_reverse+roll (:378-390) is gone
@@ -484,16 +507,28 @@ class SwinBlock(nn.Module):
         x = x + dp(mlp_out, deterministic=deterministic)
 
         if mlp_tasks is None:
+            if isinstance(attn_tasks, TaskStream):
+                return x, expand_task_streams(attn_tasks, None)
             return x, attn_tasks
+        def _dp_rng():
+            return (self.make_rng("droppath")
+                    if self.drop_path > 0.0 and not deterministic
+                    else None)
+
+        if isinstance(attn_tasks, TaskStream):
+            # the ONLY materialization of the task streams in this
+            # block: base + dp1(attn delta) + dp2(mlp delta), one write
+            assert isinstance(mlp_tasks, FactoredTasks)
+            T = attn_tasks.midT.shape[0]
+            coef2 = droppath_coef(_dp_rng(), self.drop_path, T, B,
+                                  deterministic)
+            return x, expand_task_streams(attn_tasks, mlp_tasks, coef2)
         if isinstance(mlp_tasks, FactoredTasks):
-            rng = (self.make_rng("droppath")
-                   if self.drop_path > 0.0 and not deterministic
-                   else None)
             # quirk preserved: no shortcut when only the MLP produced
             # task streams (reference :401-403)
             return x, expand_factored_tasks(
-                mlp_tasks, (B, L), self.drop_path, deterministic, rng,
-                base=attn_tasks)
+                mlp_tasks, (B, L), self.drop_path, deterministic,
+                _dp_rng(), base=attn_tasks)
         if attn_tasks is None:
             return x, dp(mlp_tasks, deterministic=deterministic)
         return x, attn_tasks + dp(mlp_tasks, deterministic=deterministic)
@@ -550,6 +585,7 @@ class PatchMerging(nn.Module):
     freeze_pretrained: bool = False
     use_pallas: bool = False
     use_pallas_gemm: bool = False
+    use_pallas_ln: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -604,8 +640,54 @@ class PatchMerging(nn.Module):
             return x[0], x[1:]
         return x, None
 
+    def _fold_kernel_ok(self, M, C, dtype):
+        """PatchMerging = LN + GEMM — the 2x2 gather feeds the fused
+        LN kernel (ops/pallas_ln_lora.py, train_w for the trainable
+        reduction) so stats/normalized tensors never hit HBM; the
+        algebraic fold below remains the fallback."""
+        if not self.use_pallas_ln:
+            return False
+        from mtlora_tpu.ops.pallas_ln_lora import ln_lora_supported
+
+        Ci, O = 4 * C, 2 * C
+        itemsize = 2 if dtype == jnp.bfloat16 else 4
+        passes = 1 if itemsize == 2 else 3
+        # weight + fp32 dW accumulator + row blocks must fit scoped VMEM
+        if Ci * O * (itemsize * passes + 4) > (12 << 20):
+            return False
+        # the kernel consumes the 2x2-gathered [M/4, 4C] rows
+        return ln_lora_supported(M // 4, Ci, O)
+
+    def _folded_pallas(self, x, H, W, C, lead, gamma, beta, kernel,
+                       dtype):
+        from mtlora_tpu.ops.pallas_ln_lora import fused_ln_lora_linear
+
+        xi = x.reshape(*lead, H, W, C).astype(dtype)
+        x0 = xi[..., 0::2, 0::2, :]
+        x1 = xi[..., 1::2, 0::2, :]
+        x2 = xi[..., 0::2, 1::2, :]
+        x3 = xi[..., 1::2, 1::2, :]
+        xcat = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(
+            -1, 4 * C)
+        seed = jnp.zeros((2,), jnp.int32)
+        A0 = jnp.zeros((4 * C, 1), dtype)
+        B0 = jnp.zeros((1, 2 * C), dtype)
+        interp = jax.default_backend() == "cpu"
+        y = fused_ln_lora_linear(
+            xcat, gamma.astype(dtype), beta.astype(dtype),
+            kernel.astype(dtype), jnp.zeros((2 * C,), dtype), A0, B0,
+            seed, 0.0, 0.0, False, False, False,
+            train_w=not self.freeze_pretrained, interpret=interp)
+        return y.reshape(*lead, (H // 2) * (W // 2), 2 * C)
+
     def _folded(self, x, H, W, C, lead, gamma, beta, kernel):
         dtype = self.dtype or x.dtype
+        M = 1
+        for d in x.shape[:-1]:
+            M *= d
+        if self._fold_kernel_ok(M, C, dtype):
+            return self._folded_pallas(x, H, W, C, lead, gamma, beta,
+                                       kernel, dtype)
         # 6-D view: [.., H/2, ho, W/2, wo, C]; concat block j = 2*wo + ho
         # (reference swin_transformer_mtlora.py:451-455 channel order)
         xr = x.reshape(*lead, H // 2, 2, W // 2, 2, C).astype(dtype)
@@ -699,6 +781,7 @@ class BasicLayer(nn.Module):
                                    and self.mtlora.freeze_pretrained
                                    and self.mtlora.freeze_reduction),
                 use_pallas=self.use_pallas_gemm,
+                use_pallas_ln=self.use_pallas_ln,
                 dtype=self.dtype, name="downsample")
             # shared + task streams share the module's parameters; the
             # module runs them without stacking copies (default path)

@@ -110,8 +110,8 @@ def _fwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
 
 def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
                 brh_ref, gy_ref, gp_ref, gd_ref, dx_ref, dg_ref, db_ref,
-                da_ref, dbr_ref, *, scale, drop, has_gp, out_act,
-                out_drop):
+                da_ref, dbr_ref, dw_ref, dbi_ref, *, scale, drop, has_gp,
+                out_act, out_drop, train_w):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -120,6 +120,9 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
         db_ref[...] = jnp.zeros_like(db_ref)
         da_ref[...] = jnp.zeros_like(da_ref)
         dbr_ref[...] = jnp.zeros_like(dbr_ref)
+        if train_w:
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+            dbi_ref[...] = jnp.zeros_like(dbi_ref)
 
     cdt = x_ref.dtype
     C = x_ref.shape[-1]
@@ -163,6 +166,14 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
     gp_total = gy
     if has_gp:
         gp_total = gp_total + gp_ref[...].astype(jnp.float32)
+    if train_w:
+        # trainable pretrained weight (the PatchMerging-reduction use):
+        # dW += ln^T gp_total, db += sum gp_total, accumulated in
+        # revisited output blocks
+        dw_ref[...] += jax.lax.dot_general(
+            lnc, gp_total.astype(cdt), _DN_T0,
+            preferred_element_type=jnp.float32, precision=_prec(cdt))
+        dbi_ref[...] += jnp.sum(gp_total, axis=0)[None]
     # adapter chain: du = s*gy; dm = du @ B^T; dB += m^T @ du
     du = (scale * gy).astype(cdt)
     dm = jax.lax.dot_general(du, brh_ref[...],
@@ -215,17 +226,21 @@ def ln_lora_supported(M: int, C: int, O: int) -> bool:
     return _row_block(M, C, O) is not None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def fused_ln_lora_linear(x, gamma, beta, kernel, bias, A, B, seed,
                          scale, drop, out_p, out_act=False,
-                         out_drop=False, interpret=False):
+                         out_drop=False, train_w=False,
+                         interpret=False):
     """x [M,C] -> y [M,O] (and PRE-activation p [M,O] when out_p, and
     d = dropout(y) when out_drop).
 
-    y = LN(x)@W + b + scale * (dropout(LN(x)) @ A) @ B; W/b frozen;
-    ``out_act`` applies exact-form gelu to y inside the kernel;
-    ``out_drop`` additionally emits dropout(y) (rate ``drop``, second
-    PRNG stream) for the next layer's shared-adapter branch.
+    y = LN(x)@W + b + scale * (dropout(LN(x)) @ A) @ B; ``out_act``
+    applies exact-form gelu to y inside the kernel; ``out_drop``
+    additionally emits dropout(y) (rate ``drop``, second PRNG stream)
+    for the next layer's shared-adapter branch. W/b are frozen (zero
+    cotangents) unless ``train_w``, which accumulates dW/db in-kernel
+    (the trainable PatchMerging-reduction use).
     ``seed``: int32 [2] array (ignored when drop == 0).
     """
     y, p, d = _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale,
@@ -284,14 +299,15 @@ def _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
 
 
 def _fwd_rule(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
-              out_p, out_act, out_drop, interpret):
+              out_p, out_act, out_drop, train_w, interpret):
     out = fused_ln_lora_linear(x, gamma, beta, kernel, bias, A, B, seed,
                                scale, drop, out_p, out_act, out_drop,
-                               interpret)
+                               train_w, interpret)
     return out, (x, gamma, beta, kernel, bias, A, B, seed)
 
 
-def _bwd_rule(scale, drop, out_p, out_act, out_drop, interpret, res, g):
+def _bwd_rule(scale, drop, out_p, out_act, out_drop, train_w, interpret,
+              res, g):
     x, gamma, beta, kernel, bias, A, B, seed = res
     if out_p or out_drop:
         parts = list(g)
@@ -306,7 +322,7 @@ def _bwd_rule(scale, drop, out_p, out_act, out_drop, interpret, res, g):
     Mb = _row_block(M, C, O)
     kern = functools.partial(_bwd_kernel, scale=scale, drop=drop,
                              has_gp=gp is not None, out_act=out_act,
-                             out_drop=gd is not None)
+                             out_drop=gd is not None, train_w=train_w)
     gp_arg = gp if gp is not None else jnp.zeros((1, O), x.dtype)
     gd_arg = gd if gd is not None else jnp.zeros((1, O), x.dtype)
 
@@ -331,7 +347,7 @@ def _bwd_rule(scale, drop, out_p, out_act, out_drop, interpret, res, g):
         _opt_in(gp is not None),                                  # gp
         _opt_in(gd is not None),                                  # gd
     ]
-    dx, dg, db, da, dbr = pl.pallas_call(
+    dx, dg, db, da, dbr, dw, dbi = pl.pallas_call(
         kern, grid=(M // Mb,),
         in_specs=in_specs,
         out_specs=(
@@ -345,6 +361,12 @@ def _bwd_rule(scale, drop, out_p, out_act, out_drop, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            (pl.BlockSpec((C, O), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM) if train_w
+             else pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)),
+            pl.BlockSpec((1, O), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((M, C), x.dtype),
@@ -352,15 +374,22 @@ def _bwd_rule(scale, drop, out_p, out_act, out_drop, interpret, res, g):
             jax.ShapeDtypeStruct((1, C), jnp.float32),
             jax.ShapeDtypeStruct((C, r), jnp.float32),
             jax.ShapeDtypeStruct((r, O), jnp.float32),
+            jax.ShapeDtypeStruct((C, O) if train_w else (1, 1),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((1, O), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(seed, x, gamma, beta, kernel, bias, A, B, gy, gp_arg, gd_arg)
-    zW = jnp.zeros_like(kernel)
-    zb = jnp.zeros((O,), kernel.dtype)
+    if train_w:
+        dW = dw.astype(kernel.dtype)
+        dbv = dbi[0].astype(kernel.dtype)
+    else:
+        dW = jnp.zeros_like(kernel)
+        dbv = jnp.zeros((O,), kernel.dtype)
     return (dx, dg[0].astype(gamma.dtype), db[0].astype(beta.dtype),
-            zW, zb, da.astype(A.dtype), dbr.astype(B.dtype), None)
+            dW, dbv, da.astype(A.dtype), dbr.astype(B.dtype), None)
 
 
 fused_ln_lora_linear.defvjp(_fwd_rule, _bwd_rule)

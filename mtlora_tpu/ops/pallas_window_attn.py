@@ -183,12 +183,12 @@ def _run_bwd(qkv_w, bias, mask, do, num_heads, nw, scale, interpret):
         # the [G, N, 3C] block + fp32 score intermediates in VMEM
         # (empirically G*N*3C*2B must stay around 1 MB: G=32 compiles at
         # C=96 but OOMs scoped vmem at C=192)
-        cap = max(4, min(32, (1 << 20) // (N * C3 * 2)))
-        if mask is not None:
-            # shifted blocks double-buffer an extra [1, G, N, N] fp32
-            # mask block; at C=96/G=32 that sits ~0.5 MB past the 16 MB
-            # scoped-vmem limit depending on compiler scheduling
-            cap = max(4, cap // 2)
+        # shifted blocks double-buffer an extra [1, G, N, N] fp32 mask
+        # block — include it in the same budget (at C=96/G=32 the mask
+        # put the kernel ~0.5 MB past the 16 MB scoped-vmem limit,
+        # surfacing as compile-scheduling-dependent OOMs)
+        per_win = N * C3 * 2 + (N * N * 4 if mask is not None else 0)
+        cap = max(4, min(32, (1 << 20) // per_win))
     G = _group_size(nw, cap)
     n_groups = nw // G
     n_cells = Btot // G

@@ -31,7 +31,7 @@ def test_fwd_and_p_match():
     x, g, b, W, bias, A, B = _case(0)
     seed = jnp.zeros((1,), jnp.int32)
     y, p = fused_ln_lora_linear(x, g, b, W, bias, A, B, seed, 4.0, 0.0,
-                                True, False, False, True)
+                                True, False, False, interpret=True)
     yr, pr = ln_lora_reference(x, g, b, W, bias, A, B, 4.0)
     np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-5,
                                rtol=1e-5)
@@ -43,7 +43,7 @@ def test_fwd_act_matches():
     x, g, b, W, bias, A, B = _case(5)
     seed = jnp.zeros((1,), jnp.int32)
     y = fused_ln_lora_linear(x, g, b, W, bias, A, B, seed, 4.0, 0.0,
-                             False, True, False, True)
+                             False, True, False, interpret=True)
     yr, _ = ln_lora_reference(x, g, b, W, bias, A, B, 4.0, act=True)
     # the in-kernel gelu uses the A&S erf approximation (1.5e-7 abs per
     # element, amplified through downstream contractions)
@@ -52,7 +52,7 @@ def test_fwd_act_matches():
 
     def lk(x, A):
         return jnp.sum(jnp.sin(fused_ln_lora_linear(
-            x, g, b, W, bias, A, B, seed, 4.0, 0.0, False, True, False, True)))
+            x, g, b, W, bias, A, B, seed, 4.0, 0.0, False, True, False, interpret=True)))
 
     def lr(x, A):
         return jnp.sum(jnp.sin(ln_lora_reference(
@@ -72,7 +72,7 @@ def test_grads_match():
 
     def lk(x, g, b, A, B):
         return jnp.sum(jnp.sin(fused_ln_lora_linear(
-            x, g, b, W, bias, A, B, seed, 2.0, 0.0, False, False, False, True)))
+            x, g, b, W, bias, A, B, seed, 2.0, 0.0, False, False, False, interpret=True)))
 
     def lr(x, g, b, A, B):
         return jnp.sum(jnp.sin(ln_lora_reference(
@@ -137,3 +137,67 @@ def test_backbone_ln_path_matches_module_path():
         # element level, amplified through the depth of the backbone
         assert rel < 1e-3, (
             f"grad mismatch at {jax.tree_util.keystr(pr)}: rel {rel}")
+
+
+def test_train_w_grads_match():
+    """train_w=True: the kernel's in-kernel dW/db accumulation (the
+    trainable PatchMerging-reduction path) must match autodiff through
+    the jnp reference."""
+    x, g, b, W, bias, A, B = _case(9, M=256, C=64, O=96, r=8)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def lk(x, W, bias):
+        return jnp.sum(jnp.sin(fused_ln_lora_linear(
+            x, g, b, W, bias, A, B, seed, 2.0, 0.0, False, False, False,
+            train_w=True, interpret=True)))
+
+    def lr(x, W, bias):
+        return jnp.sum(jnp.sin(ln_lora_reference(
+            x, g, b, W, bias, A, B, 2.0)[0]))
+
+    gk = jax.grad(lk, argnums=(0, 1, 2))(x, W, bias)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(x, W, bias)
+    for name, k, r in zip("x W bias".split(), gk, gr):
+        scale = max(float(jnp.abs(r).max()), 1e-6)
+        rel = float(jnp.abs(k - r).max()) / scale
+        assert rel < 2e-5, f"train_w grad mismatch for {name}: rel {rel}"
+
+
+def test_patchmerging_pallas_matches_fold():
+    """PatchMerging's LN-kernel path (use_pallas_ln) must reproduce the
+    algebraic fold / module path exactly, fwd and grads."""
+    from mtlora_tpu.models.swin import PatchMerging
+    from mtlora_tpu.models.lora import LoRASpec
+
+    H = W = 8
+    C = 16
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, H * W, C), jnp.float32)
+    for freeze in (False, True):
+        pk = PatchMerging((H, W), C, LoRASpec(r_shared=0),
+                          freeze_pretrained=freeze, use_pallas_ln=True)
+        pf = PatchMerging((H, W), C, LoRASpec(r_shared=0),
+                          freeze_pretrained=freeze, use_pallas_ln=False)
+        variables = pk.init(jax.random.PRNGKey(0), x)
+        yk, _ = pk.apply(variables, x)
+        yf, _ = pf.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(yk), np.asarray(yf),
+                                   atol=2e-5, rtol=2e-5)
+
+        def loss(m):
+            def f(p, x):
+                return jnp.sum(jnp.sin(m.apply({"params": p}, x)[0]))
+            return f
+
+        gk = jax.grad(loss(pk))(variables["params"], x)
+        gf = jax.grad(loss(pf))(variables["params"], x)
+        import flax
+
+        fk = flax.traverse_util.flatten_dict(gk)
+        ff = flax.traverse_util.flatten_dict(gf)
+        assert set(fk) == set(ff)
+        for path in sorted(fk):
+            np.testing.assert_allclose(
+                np.asarray(fk[path]), np.asarray(ff[path]),
+                atol=3e-5, rtol=3e-5,
+                err_msg=f"{path} (freeze={freeze})")
