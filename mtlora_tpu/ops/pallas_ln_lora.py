@@ -41,6 +41,13 @@ from mtlora_tpu.ops.pallas_adapter_mlp import (
 
 _EPS = 1e-5
 
+# Scoped-VMEM ceiling for this kernel's compiles. The platform default
+# (16 MB) rejects the full-featured backward (gy+gp+gd cotangents with
+# the gelu recompute) at stage-3 fc1 shapes (~20-23 MB of stack); v5e
+# has 128 MB of VMEM and the grid is coarse enough that raising the
+# cap costs no overlap in practice (bench-verified).
+_VMEM_LIMIT = 64 << 20
+
 
 def _prec(dtype):
     return (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
@@ -77,19 +84,26 @@ def _fwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
                             preferred_element_type=jnp.float32,
                             precision=_prec(cdt))
     p = p + bias_ref[...].astype(jnp.float32)
-    if drop > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _drop_mask(ln.shape, drop)
-        lnd = jnp.where(keep, ln / (1.0 - drop), 0.0).astype(cdt)
+    if scale != 0.0:
+        if drop > 0.0:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            keep = _drop_mask(ln.shape, drop)
+            lnd = jnp.where(keep, ln / (1.0 - drop), 0.0).astype(cdt)
+        else:
+            lnd = lnc
+        m = jax.lax.dot_general(lnd, a_ref[...], _DN_STD,
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(cdt))
+        u = jax.lax.dot_general(m.astype(cdt), brh_ref[...], _DN_STD,
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(cdt))
+        y = p + scale * u
     else:
-        lnd = lnc
-    m = jax.lax.dot_general(lnd, a_ref[...], _DN_STD,
-                            preferred_element_type=jnp.float32,
-                            precision=_prec(cdt))
-    u = jax.lax.dot_general(m.astype(cdt), brh_ref[...], _DN_STD,
-                            preferred_element_type=jnp.float32,
-                            precision=_prec(cdt))
-    y = p + scale * u
+        # scale == 0 (static): the adapter contributes exactly zero —
+        # skip its dots entirely. Besides the waste, Mosaic lowers the
+        # rank-1 dummy-adapter dots (the folded-PatchMerging use) as a
+        # dtype-changing vector.broadcast, which fails verification.
+        y = p
     if out_act:
         # gelu fused into the output write: XLA cannot fuse elementwise
         # consumers into a pallas_call's output, so leaving gelu outside
@@ -130,16 +144,17 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
     gamma = g_ref[...].astype(jnp.float32)
     ln, xhat, inv = _layer_norm(x32, gamma, b_ref[...].astype(jnp.float32))
     lnc = ln.astype(cdt)
-    if drop > 0.0:
+    if scale != 0.0 and drop > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         keep = _drop_mask(ln.shape, drop)
         lnd = jnp.where(keep, ln / (1.0 - drop), 0.0).astype(cdt)
     else:
         keep = None
         lnd = lnc
-    m = jax.lax.dot_general(lnd, a_ref[...], _DN_STD,
-                            preferred_element_type=jnp.float32,
-                            precision=_prec(cdt)).astype(cdt)
+    if scale != 0.0:
+        m = jax.lax.dot_general(lnd, a_ref[...], _DN_STD,
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(cdt)).astype(cdt)
 
     gy = gy_ref[...].astype(jnp.float32)  # [Mb, O] cotangent of y
     if out_drop:
@@ -151,14 +166,14 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
             keep2, gd_ref[...].astype(jnp.float32) / (1.0 - drop), 0.0)
     if out_act:
         # recompute pre-activation y and fold dgelu into the cotangent
-        p_full = jax.lax.dot_general(lnc, w_ref[...], _DN_STD,
-                                     preferred_element_type=jnp.float32,
-                                     precision=_prec(cdt))
-        p_full = p_full + bias_ref[...].astype(jnp.float32)
-        u_full = jax.lax.dot_general(
-            m, brh_ref[...], _DN_STD, preferred_element_type=jnp.float32,
-            precision=_prec(cdt))
-        z_pre = p_full + scale * u_full
+        z_pre = jax.lax.dot_general(lnc, w_ref[...], _DN_STD,
+                                    preferred_element_type=jnp.float32,
+                                    precision=_prec(cdt))
+        z_pre = z_pre + bias_ref[...].astype(jnp.float32)
+        if scale != 0.0:
+            z_pre = z_pre + scale * jax.lax.dot_general(
+                m, brh_ref[...], _DN_STD,
+                preferred_element_type=jnp.float32, precision=_prec(cdt))
         dgelu = _cdf(z_pre) + z_pre * (
             jnp.exp(-0.5 * z_pre * z_pre) * _INV_SQRT_2PI)
         gy = gy * dgelu
@@ -174,31 +189,32 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
             lnc, gp_total.astype(cdt), _DN_T0,
             preferred_element_type=jnp.float32, precision=_prec(cdt))
         dbi_ref[...] += jnp.sum(gp_total, axis=0)[None]
-    # adapter chain: du = s*gy; dm = du @ B^T; dB += m^T @ du
-    du = (scale * gy).astype(cdt)
-    dm = jax.lax.dot_general(du, brh_ref[...],
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_prec(cdt)).astype(cdt)  # [Mb, r]
-    dbr_ref[...] += jax.lax.dot_general(
-        m, du, _DN_T0, preferred_element_type=jnp.float32,
-        precision=_prec(cdt))
-    da_ref[...] += jax.lax.dot_general(
-        lnd, dm, _DN_T0, preferred_element_type=jnp.float32,
-        precision=_prec(cdt))
-    # dlnd = dm @ A^T ; through dropout
-    dlnd = jax.lax.dot_general(dm, a_ref[...],
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=_prec(cdt))
-    if drop > 0.0:
-        dln_adapter = jnp.where(keep, dlnd / (1.0 - drop), 0.0)
-    else:
-        dln_adapter = dlnd
-    # pretrained path: dln += gp_total @ W^T
-    dln = dln_adapter + jax.lax.dot_general(
+    # pretrained path: dln = gp_total @ W^T
+    dln = jax.lax.dot_general(
         gp_total.astype(cdt), w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_prec(cdt))
+    if scale != 0.0:
+        # adapter chain: du = s*gy; dm = du @ B^T; dB += m^T @ du
+        du = (scale * gy).astype(cdt)
+        dm = jax.lax.dot_general(du, brh_ref[...],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_prec(cdt)).astype(cdt)  # [Mb,r]
+        dbr_ref[...] += jax.lax.dot_general(
+            m, du, _DN_T0, preferred_element_type=jnp.float32,
+            precision=_prec(cdt))
+        da_ref[...] += jax.lax.dot_general(
+            lnd, dm, _DN_T0, preferred_element_type=jnp.float32,
+            precision=_prec(cdt))
+        # dlnd = dm @ A^T ; through dropout
+        dlnd = jax.lax.dot_general(dm, a_ref[...],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_prec(cdt))
+        if drop > 0.0:
+            dln = dln + jnp.where(keep, dlnd / (1.0 - drop), 0.0)
+        else:
+            dln = dln + dlnd
     # LayerNorm backward
     dg_ref[...] += jnp.sum(dln * xhat, axis=0)[None]
     db_ref[...] += jnp.sum(dln, axis=0)[None]
@@ -292,7 +308,8 @@ def _run_fwd(x, gamma, beta, kernel, bias, A, B, seed, scale, drop,
                    _opt_spec(out_drop)),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed, x, gamma, beta, kernel, bias, A, B)
     return y, (p if out_p else None), (d if out_drop else None)
@@ -379,7 +396,8 @@ def _bwd_rule(scale, drop, out_p, out_act, out_drop, train_w, interpret,
             jax.ShapeDtypeStruct((1, O), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed, x, gamma, beta, kernel, bias, A, B, gy, gp_arg, gd_arg)
     if train_w:

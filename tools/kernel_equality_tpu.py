@@ -198,6 +198,59 @@ def test_ln_lora():
                 check(f"{name} {nm}", k, rf, 5e-2)
 
 
+def test_ln_lora_trainw():
+    """train_w mode (trainable pretrained W/b — the PatchMerging-
+    reduction use) compiled on TPU: fwd + dx/dgamma/dbeta/dW/db vs the
+    jnp reference. Covers BOTH call shapes the model emits:
+      - the folded-PatchMerging dummy adapter (r=1 zeros, scale=0.0) —
+        the rank-1 dots Mosaic lowered as a dtype-changing
+        vector.broadcast (verification failure) before the scale==0
+        static skip;
+      - a live shared adapter (r=64, scale=4) with train_w on."""
+    from mtlora_tpu.ops.pallas_ln_lora import (
+        fused_ln_lora_linear, ln_lora_reference)
+
+    for (M, C, O, r, scale) in [(100352, 384, 192, 1, 0.0),
+                                (25088, 768, 384, 1, 0.0),
+                                (25088, 768, 384, 64, 4.0)]:
+        rs = np.random.RandomState(C + r)
+        x = jnp.asarray(rs.randn(M, C) * 0.5, jnp.bfloat16)
+        g = jnp.asarray(rs.randn(C) * 0.1 + 1, jnp.bfloat16)
+        b = jnp.asarray(rs.randn(C) * 0.1, jnp.bfloat16)
+        W = jnp.asarray(rs.randn(C, O) * 0.05, jnp.bfloat16)
+        bi = jnp.zeros((O,), jnp.bfloat16)
+        if scale == 0.0:
+            A = jnp.zeros((C, r), jnp.bfloat16)
+            B = jnp.zeros((r, O), jnp.bfloat16)
+        else:
+            A = jnp.asarray(rs.randn(C, r) * 0.1, jnp.bfloat16)
+            B = jnp.asarray(rs.randn(r, O) * 0.1, jnp.bfloat16)
+        seed = jnp.zeros((2,), jnp.int32)
+        name = f"ln_trainw C={C} r={r} s={scale}"
+
+        def lk(x, g, b, W, A, B):
+            y = fused_ln_lora_linear(x, g, b, W, bi, A, B, seed, scale,
+                                     0.0, False, False, False, True)
+            return jnp.mean(y.astype(jnp.float32) ** 2), y
+
+        def lr(x, g, b, W, A, B):
+            y, _ = ln_lora_reference(x, g, b, W, bi, A, B, scale)
+            return jnp.mean(y.astype(jnp.float32) ** 2), y
+
+        (_, yk), gk = jax.jit(jax.value_and_grad(
+            lk, argnums=(0, 1, 2, 3, 4, 5), has_aux=True))(x, g, b, W,
+                                                           A, B)
+        (_, yr), gr = jax.jit(jax.value_and_grad(
+            lr, argnums=(0, 1, 2, 3, 4, 5), has_aux=True))(x, g, b, W,
+                                                           A, B)
+        check(name + " fwd", yk, yr, 2e-2)
+        for nm, kv, rv in zip(("dx", "dgamma", "dbeta", "dW", "dA",
+                               "dB"), gk, gr):
+            if scale == 0.0 and nm in ("dA", "dB"):
+                continue  # exactly zero on both sides
+            check(f"{name} {nm}", kv, rv, 5e-2)
+
+
 def test_ln_lora_dropout():
     """Train-mode in-kernel dropout (Mosaic PRNG, TPU-only): mask
     structure + determinism of the out_drop second output, and fwd/bwd
@@ -314,6 +367,8 @@ if __name__ == "__main__":
         test_adapter_mid()
     if only in (None, "ln"):
         test_ln_lora()
+    if only in (None, "trainw"):
+        test_ln_lora_trainw()
     if only in (None, "lndrop") and plat != "cpu":
         test_ln_lora_dropout()
     if FAILURES:
