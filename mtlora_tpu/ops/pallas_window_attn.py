@@ -45,6 +45,12 @@ def _prec(dtype):
     return (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
 
 
+# Per-kernel scoped-VMEM ceiling (platform default 16 MB; v5e has
+# 128 MB). Larger window groups amortize the per-head python-unrolled
+# dots — the backward was measured latency-bound at small G.
+_VMEM_LIMIT = 64 << 20
+
+
 # dot_general dimension numbers (single window-batch dim):
 _DN_QK = (((2,), (2,)), ((0,), (0,)))   # q[.,N,hd] x k[.,N,hd] -> [.,N,N]
 _DN_PV = (((2,), (1,)), ((0,), (0,)))   # p[.,N,N] x v[.,N,hd] -> [.,N,hd]
@@ -151,7 +157,7 @@ def _run_fwd(qkv_w, bias, mask, num_heads, nw, scale, interpret):
     C = C3 // 3
     # fp32 runs with HIGHEST-precision (multi-pass) matmuls, which need
     # extra VMEM scratch — shrink the window group to compensate
-    G = _group_size(nw, 32 if qkv_w.dtype != jnp.float32 else 8)
+    G = _group_size(nw, 64 if qkv_w.dtype != jnp.float32 else 8)
     n_groups = nw // G
     has_mask = mask is not None
     mask_arg = (mask.reshape(n_groups, G, N, N) if has_mask
@@ -167,7 +173,8 @@ def _run_fwd(qkv_w, bias, mask, num_heads, nw, scale, interpret):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Btot, N, C), qkv_w.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(qkv_w, bias, mask_arg)
 
@@ -180,15 +187,14 @@ def _run_bwd(qkv_w, bias, mask, do, num_heads, nw, scale, interpret):
     else:
         # more windows per cell amortizes the per-head recompute dots
         # (the bwd kernel was measured latency-bound at G=8); bound by
-        # the [G, N, 3C] block + fp32 score intermediates in VMEM
-        # (empirically G*N*3C*2B must stay around 1 MB: G=32 compiles at
-        # C=96 but OOMs scoped vmem at C=192)
+        # the [G, N, 3C] block + fp32 score intermediates in VMEM.
         # shifted blocks double-buffer an extra [1, G, N, N] fp32 mask
-        # block — include it in the same budget (at C=96/G=32 the mask
-        # put the kernel ~0.5 MB past the 16 MB scoped-vmem limit,
-        # surfacing as compile-scheduling-dependent OOMs)
+        # block — include it in the same budget. The per-window budget
+        # was 1 MB to fit the platform's 16 MB scoped-vmem default;
+        # with the per-kernel ceiling raised to _VMEM_LIMIT the budget
+        # triples (bench: larger groups amortize the unrolled head loop)
         per_win = N * C3 * 2 + (N * N * 4 if mask is not None else 0)
-        cap = max(4, min(32, (1 << 20) // per_win))
+        cap = max(4, min(64, (3 << 20) // per_win))
     G = _group_size(nw, cap)
     n_groups = nw // G
     n_cells = Btot // G
@@ -219,7 +225,8 @@ def _run_bwd(qkv_w, bias, mask, do, num_heads, nw, scale, interpret):
                                  jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(qkv_w, bias, mask_arg, do)
     return dqkv, dbias.sum(axis=0)

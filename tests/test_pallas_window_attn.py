@@ -93,3 +93,34 @@ def test_fused_uneven_heads_channels():
     out = fused_window_attention(qkv, 3, bias, 7, 3, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_merge2x2_tokens_matches_strided_slices():
+    """PatchMerging's single-permutation 2x2 gather must reproduce the
+    reference x0/x1/x2/x3 strided-slice+concat order
+    (swin_transformer_mtlora.py:451-455), fwd and VJP."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtlora_tpu.ops.window import merge2x2_tokens
+
+    B, H, W, C = 2, 8, 6, 5
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, H * W, C), jnp.float32)
+
+    def ref(x):
+        xi = x.reshape(B, H, W, C)
+        return jnp.concatenate(
+            [xi[:, 0::2, 0::2], xi[:, 1::2, 0::2],
+             xi[:, 0::2, 1::2], xi[:, 1::2, 1::2]],
+            axis=-1).reshape(B, -1, 4 * C)
+
+    got = merge2x2_tokens(x, H, W).reshape(B, -1, 4 * C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)))
+
+    g = jnp.asarray(rs.randn(*got.shape), jnp.float32)
+    gk = jax.grad(lambda x: jnp.sum(
+        merge2x2_tokens(x, H, W).reshape(B, -1, 4 * C) * g))(x)
+    gr = jax.grad(lambda x: jnp.sum(ref(x) * g))(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr))

@@ -71,16 +71,18 @@ def jnp_attention(qkv_map, num_heads, rel_bias, ws, shift, mask, B, H, W,
                                     H, W, (B,))
 
 
-def test_window_attention():
+def test_window_attention(bf16_only=False):
     ws, B = 7, 2
     # flagship stage shapes at 448: (C, nH, H=W); the C=1024/nH=32 row
     # is the Swin-B boundary (VMEM group-cap gating), bf16 only — fp32
-    # HIGHEST-precision Mosaic compiles cost ~10 min per shape
+    # HIGHEST-precision Mosaic compiles cost ~10 min per shape.
+    # ``bf16_only`` (CLI: "attn-bf16") re-validates just the production
+    # dtype, e.g. after group-cap changes that only affect bf16.
     for (C, nH, H) in [(96, 3, 112), (192, 6, 56), (384, 12, 28),
                        (768, 24, 14), (1024, 32, 14)]:
         W = H
         dtypes = ((jnp.float32, 1e-4, 5e-4), (jnp.bfloat16, 2e-2, 3e-2))
-        if C > 768:
+        if C > 768 or bf16_only:
             dtypes = ((jnp.bfloat16, 2e-2, 3e-2),)
         for dt, tol_f, tol_g in dtypes:
             for shift in (0, ws // 2):
@@ -363,6 +365,8 @@ if __name__ == "__main__":
     only = sys.argv[1] if len(sys.argv) > 1 else None
     if only in (None, "attn"):
         test_window_attention()
+    if only == "attn-bf16":
+        test_window_attention(bf16_only=True)
     if only in (None, "adapter"):
         test_adapter_mid()
     if only in (None, "ln"):
