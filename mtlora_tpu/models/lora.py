@@ -303,11 +303,41 @@ class MTLoRALinear(nn.Module):
             midT=mid1T, B=B_t.astype(dtype), scales=spec.task_scales)
         return (y, ft, yd) if out_drop else (y, ft)
 
+    def _params_only(self):
+        """Materialize this layer's pretrained + shared-LoRA params
+        (same names/initializers as the compute paths) WITHOUT running
+        any compute — the whole-MLP fusion (ops/pallas_ln_mlp.py) pulls
+        fc1's and fc2's params into ONE kernel call. Flax derives init
+        RNG from the param path, so creation order is irrelevant.
+        Returns (kernel, bias, A_s, B_s); kernel/bias are stop_gradient
+        per ``freeze_pretrained``."""
+        spec = self.spec
+        param_dtype = jnp.float32
+        kernel = self.param(
+            "kernel",
+            nn.initializers.truncated_normal(0.02, lower=-2, upper=2),
+            (self.in_features, self.out_features), param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_features,), param_dtype)
+                if self.use_bias else jnp.zeros((self.out_features,),
+                                                param_dtype))
+        if self.freeze_pretrained:
+            kernel = jax.lax.stop_gradient(kernel)
+            bias = jax.lax.stop_gradient(bias)
+        A_s = self.param("lora_shared_A", _kaiming_uniform_rows,
+                         (self.in_features, spec.r_shared), param_dtype)
+        B_s = self.param("lora_shared_B", nn.initializers.zeros,
+                         (spec.r_shared, self.out_features), param_dtype)
+        return kernel, bias, A_s, B_s
+
     @nn.compact
     def __call__(self, x, x_tasks=None, *, deterministic: bool = True,
                  factored_tasks: bool = False, task_factored=None,
                  ln_params=None, ln_act: bool = False,
-                 out_drop: bool = False, x_dropped=None):
+                 out_drop: bool = False, x_dropped=None,
+                 params_only: bool = False):
+        if params_only:
+            return self._params_only()
         """``factored_tasks=True`` returns the per-task output as a
         :class:`FactoredTasks` (rank-space) instead of materialized
         ``[T, ..., out]`` streams; ``task_factored=<FactoredTasks>``

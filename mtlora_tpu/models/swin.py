@@ -106,6 +106,36 @@ def _ln_fusible(spec: LoRASpec, mtlora: MTLoRASpec, lora_on: bool,
             and ln_lora_supported(M, C, O))
 
 
+def _ln_mlp_fusible(spec: LoRASpec, freeze_pretrained: bool, M: int,
+                    C: int, H4: int, dtype,
+                    deterministic: bool = True) -> bool:
+    """Can a no-task block's whole norm2->fc1->gelu->fc2 chain run as
+    ONE kernel (ops/pallas_ln_mlp.py)? Mirrors `_ln_fusible`'s spec
+    gates; the VMEM budget covers BOTH weight matrices, the four
+    fp32 adapter-grad accumulators, and ~8 fp32 [Mb, H4] row buffers
+    in the recompute backward."""
+    if (spec.dropout > 0.0 and not deterministic
+            and jax.default_backend() == "cpu"):
+        return False  # Mosaic PRNG has no CPU interpreter
+    from mtlora_tpu.ops.pallas_ln_mlp import ln_mlp_supported
+    from mtlora_tpu.ops.pallas_ln_lora import _row_block
+
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    passes = 1 if itemsize == 2 else 3
+    mb = _row_block(M, C, H4) or 128
+    r = spec.r_shared
+    weights = 2 * C * H4 * itemsize * passes
+    accums = 4 * (2 * (C * r + r * H4))
+    rows = 8 * mb * max(C, H4) * 4
+    if weights + accums + rows > (48 << 20):
+        return False
+    return (r > 0 and spec.shared_mode == "matrix"
+            and not spec.trainable_scale_shared
+            and not spec.shared_merged
+            and freeze_pretrained
+            and ln_mlp_supported(M, C, H4))
+
+
 def _drop_seed(module, spec: LoRASpec, deterministic: bool):
     """int32 [2] PRNG seeds for the in-kernel dropout masks (seed[0]:
     LN-input dropout; seed[1]: the optional dropped second output)."""
@@ -182,6 +212,38 @@ class Mlp(nn.Module):
             M = 1
             for d in x.shape[:-1]:
                 M *= d
+            # whole-MLP fusion for no-task blocks: norm2 -> fc1 -> gelu
+            # -> fc2 (shared adapters on both) as ONE kernel; the
+            # [M, hidden] tensor never touches HBM
+            # (ops/pallas_ln_mlp.py)
+            if (not self.fc1_tasks and not self.fc2_tasks
+                    and (self.drop == 0.0 or deterministic)
+                    and _ln_mlp_fusible(
+                        self.spec, self.freeze_pretrained, M,
+                        self.in_features, self.hidden_features,
+                        self.dtype or x.dtype, deterministic)):
+                from mtlora_tpu.ops.pallas_ln_mlp import fused_ln_mlp
+
+                k1, bi1, A1, B1 = fc1(x, params_only=True)
+                k2, bi2, A2, B2 = fc2(x, params_only=True)
+                seed = _drop_seed(self, self.spec, deterministic)
+                dtype = self.dtype or x.dtype
+                lead = x.shape[:-1]
+                x2 = x.astype(dtype).reshape(-1, self.in_features)
+                drop_rate = (float(self.spec.dropout)
+                             if (self.spec.dropout > 0.0
+                                 and not deterministic) else 0.0)
+                interp = jax.default_backend() == "cpu"
+                y2 = fused_ln_mlp(
+                    x2, gamma2.astype(dtype), beta2.astype(dtype),
+                    k1.astype(dtype), bi1.astype(dtype),
+                    A1.astype(dtype), B1.astype(dtype),
+                    k2.astype(dtype), bi2.astype(dtype),
+                    A2.astype(dtype), B2.astype(dtype), seed,
+                    float(self.spec.shared_scale),
+                    float(self.spec.shared_scale), drop_rate,
+                    interpret=interp)
+                return y2.reshape(lead + (self.in_features,)), None
             # LN->fc1 fusion needs the factored task path (or no tasks):
             # _ln_fused has no materialized-task form
             ln_ok = (_ln_fusible(self.spec, mtlora, True, M,
