@@ -723,14 +723,13 @@ class PatchMerging(nn.Module):
     def _folded_pallas(self, x, H, W, C, lead, gamma, beta, kernel,
                        dtype):
         from mtlora_tpu.ops.pallas_ln_lora import fused_ln_lora_linear
-        from mtlora_tpu.ops.window import merge2x2_tokens
+        from mtlora_tpu.ops.window import merge2x2_cat
 
-        # 2x2 gather as ONE static token permutation ([.., L, C] ->
-        # [.., L, C] reorder, then a free [M, 4C] reshape) — the
+        # 2x2 gather as free reshapes around ONE 6-D transpose — the
+        # measured-fastest formulation (see merge2x2_cat); the
         # strided-slices+concat form lowered to XLA gather/scatter-add
         # passes measured ~18 ms/step on the flagship trace
-        xt = merge2x2_tokens(x.astype(dtype), H, W)
-        xcat = xt.reshape(-1, 4 * C)
+        xcat = merge2x2_cat(x.astype(dtype), H, W).reshape(-1, 4 * C)
         seed = jnp.zeros((2,), jnp.int32)
         A0 = jnp.zeros((4 * C, 1), dtype)
         B0 = jnp.zeros((1, 2 * C), dtype)

@@ -90,42 +90,27 @@ def _permute_bwd(H, W, ws, shift, inverse, _, g):
 _permute_tokens.defvjp(_permute_fwd, _permute_bwd)
 
 
-@functools.lru_cache(maxsize=None)
-def _merge2x2_perm(H: int, W: int):
-    """Static token permutation for PatchMerging's 2x2 gather: output
-    flat index ((i, j), k) -> source token (2i+di_k)*W + 2j+dj_k with
-    k-order (di, dj) = (0,0),(1,0),(0,1),(1,1) — the reference's
-    x0/x1/x2/x3 concat order (swin_transformer_mtlora.py:451-455).
-    After the gather, [(H/2*W/2)*4, C] -> [H/2*W/2, 4C] is a free
-    row-major reshape."""
-    i = np.arange(H // 2)[:, None, None]
-    j = np.arange(W // 2)[None, :, None]
-    di = np.array([0, 1, 0, 1])[None, None, :]
-    dj = np.array([0, 0, 1, 1])[None, None, :]
-    src = (2 * i + di) * W + (2 * j + dj)
-    perm = src.reshape(-1)
-    return perm, np.argsort(perm)
+def merge2x2_cat(x, H: int, W: int):
+    """PatchMerging's 2x2 gather: [.., H*W, C] -> [.., (H/2)*(W/2), 4C]
+    with the reference x0/x1/x2/x3 channel order
+    (swin_transformer_mtlora.py:451-455): 4C block k = di + 2*dj,
+    i.e. [x(di=0,dj=0), x(1,0), x(0,1), x(1,1)].
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def merge2x2_tokens(x2, H, W, inverse=False):
-    """2x2 patch-merge gather on the token axis (-2) as ONE static
-    permutation (custom VJP: backward is the inverse gather, not the
-    scatter-add jnp.take's default vjp would emit — measured ~18 ms/step
-    of XLA gather/scatter/reshape glue on the flagship trace)."""
-    perm, inv = _merge2x2_perm(H, W)
-    return jnp.take(x2, jnp.asarray(inv if inverse else perm), axis=-2)
-
-
-def _merge2x2_fwd(x2, H, W, inverse):
-    return merge2x2_tokens(x2, H, W, inverse), None
-
-
-def _merge2x2_bwd(H, W, inverse, _, g):
-    return (merge2x2_tokens(g, H, W, not inverse),)
-
-
-merge2x2_tokens.defvjp(_merge2x2_fwd, _merge2x2_bwd)
+    Implemented as free reshapes around ONE 6-D transpose — measured
+    fastest of three formulations on v5e at stage-0 scale (fwd+bwd,
+    5 streams): 13.1 ms vs 15.9 (token-permutation jnp.take; XLA
+    sandwiches the batched gather between full transpose copies) vs
+    19.8 (strided slices + concat; scatter-add backward). The
+    transpose's autodiff is itself a transpose — no custom VJP needed.
+    """
+    *lead, L, C = x.shape
+    n = len(lead)
+    xi = x.reshape(*lead, H // 2, 2, W // 2, 2, C)
+    # [.., Hh, 2_di, Wh, 2_dj, C] -> [.., Hh, Wh, 2_dj, 2_di, C]:
+    # row-major (2_dj, 2_di) == k = di + 2*dj, the reference order
+    perm = tuple(range(n)) + (n, n + 2, n + 3, n + 1, n + 4)
+    xc = xi.transpose(perm)
+    return xc.reshape(*lead, (H // 2) * (W // 2), 4 * C)
 
 
 def shift_window_partition(x: jnp.ndarray, window_size: int,

@@ -95,15 +95,15 @@ def test_fused_uneven_heads_channels():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_merge2x2_tokens_matches_strided_slices():
-    """PatchMerging's single-permutation 2x2 gather must reproduce the
+def test_merge2x2_cat_matches_strided_slices():
+    """PatchMerging's transpose-based 2x2 gather must reproduce the
     reference x0/x1/x2/x3 strided-slice+concat order
     (swin_transformer_mtlora.py:451-455), fwd and VJP."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from mtlora_tpu.ops.window import merge2x2_tokens
+    from mtlora_tpu.ops.window import merge2x2_cat
 
     B, H, W, C = 2, 8, 6, 5
     rs = np.random.RandomState(0)
@@ -116,11 +116,10 @@ def test_merge2x2_tokens_matches_strided_slices():
              xi[:, 0::2, 1::2], xi[:, 1::2, 1::2]],
             axis=-1).reshape(B, -1, 4 * C)
 
-    got = merge2x2_tokens(x, H, W).reshape(B, -1, 4 * C)
+    got = merge2x2_cat(x, H, W)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)))
 
     g = jnp.asarray(rs.randn(*got.shape), jnp.float32)
-    gk = jax.grad(lambda x: jnp.sum(
-        merge2x2_tokens(x, H, W).reshape(B, -1, 4 * C) * g))(x)
+    gk = jax.grad(lambda x: jnp.sum(merge2x2_cat(x, H, W) * g))(x)
     gr = jax.grad(lambda x: jnp.sum(ref(x) * g))(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr))
