@@ -21,6 +21,17 @@ Mosaic constraints shape the design:
 
 The cyclic shift stays outside as jnp.roll, mirroring
 WindowProcess.apply's contract (.cu:42-67).
+
+Window pack-2: with ws=7 the per-window score matmuls are 49x{hd}x49 —
+the 49 output lanes pad to the 128-lane MXU tile, so over half of every
+MXU pass computes garbage. Packing TWO windows per attention instance
+(N=98 <= 128 lanes) via a FREE reshape [2M, 49, 3C] -> [M, 98, 3C] fills
+the padding with the second window's real work: the cross-window score
+quadrants land in lanes the hardware was already burning, and a
+block-diagonal -1e9 bias kills them in the softmax (exp underflows to
+exactly 0, so the backward's ds is exactly 0 there too — numerics are
+bit-comparable to the unpacked kernel). Matmul-instruction count and
+softmax sublane padding both halve.
 """
 
 from __future__ import annotations
@@ -152,12 +163,64 @@ def _group_size(nw: int, cap: int) -> int:
     return g
 
 
+# Off-diagonal fill for packed window pairs: large enough that
+# exp(x - rowmax) underflows to exactly 0.0 in fp32 (the backward's
+# softmax-jacobian term is then exactly 0 too), small enough to stay
+# finite through the bias+mask adds.
+_PACK_NEG = -1e9
+
+
+def _pack2_bias(bias: jnp.ndarray) -> jnp.ndarray:
+    """[nH, N, N] -> block-diagonal [nH, 2N, 2N] with -1e9 off-diagonal.
+
+    Differentiable: the VJP of the concatenates routes the kernel's
+    dbias diagonal blocks back onto the original table (summed), so the
+    relative-position-bias gradient needs no special handling."""
+    nH, N, _ = bias.shape
+    neg = jnp.full((nH, N, N), _PACK_NEG, bias.dtype)
+    top = jnp.concatenate([bias, neg], axis=-1)
+    bot = jnp.concatenate([neg, bias], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _pack2_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """[nW, N, N] -> [nW//2, 2N, 2N]; off-diagonal 0 (bias carries -1e9)."""
+    nW, N, _ = mask.shape
+    m = mask.reshape(nW // 2, 2, N, N)
+    z = jnp.zeros_like(m[:, 0])
+    top = jnp.concatenate([m[:, 0], z], axis=-1)
+    bot = jnp.concatenate([z, m[:, 1]], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _maybe_packed(qkv_w, bias, mask, num_heads, nw, scale, interpret):
+    """Dispatch to the kernel, packing two windows per instance when the
+    shapes allow (see module docstring)."""
+    Btot, N, C3 = qkv_w.shape
+    if 2 * N <= 128 and (
+            nw % 2 == 0 or (nw == 1 and mask is None and Btot % 2 == 0)):
+        qkv_p = qkv_w.reshape(Btot // 2, 2 * N, C3)
+        bias2 = _pack2_bias(bias)
+        mask2 = _pack2_mask(mask) if mask is not None else None
+        out = _fused_windows(qkv_p, bias2, mask2, num_heads,
+                             max(1, nw // 2), scale, interpret)
+        return out.reshape(Btot, N, C3 // 3)
+    return _fused_windows(qkv_w, bias, mask, num_heads, nw, scale,
+                          interpret)
+
+
+def _fwd_cap(N, C3, has_mask, dtype):
+    if dtype == jnp.float32:
+        # HIGHEST-precision (multi-pass) matmuls need VMEM scratch
+        return 8
+    per_win = N * C3 * 2 + (N * N * 4 if has_mask else 0)
+    return max(4, min(64, (3 << 20) // per_win))
+
+
 def _run_fwd(qkv_w, bias, mask, num_heads, nw, scale, interpret):
     Btot, N, C3 = qkv_w.shape
     C = C3 // 3
-    # fp32 runs with HIGHEST-precision (multi-pass) matmuls, which need
-    # extra VMEM scratch — shrink the window group to compensate
-    G = _group_size(nw, 64 if qkv_w.dtype != jnp.float32 else 8)
+    G = _group_size(nw, _fwd_cap(N, C3, mask is not None, qkv_w.dtype))
     n_groups = nw // G
     has_mask = mask is not None
     mask_arg = (mask.reshape(n_groups, G, N, N) if has_mask
@@ -279,8 +342,8 @@ def fused_window_attention(
         scale = (C // num_heads) ** -0.5
     qkv_w = shift_window_partition(qkv_map, ws, shift).reshape(
         B * nw, ws * ws, C3)
-    out = _fused_windows(qkv_w, rel_bias, shift_mask, num_heads, nw,
-                         scale, interpret)
+    out = _maybe_packed(qkv_w, rel_bias, shift_mask, num_heads, nw,
+                        scale, interpret)
     return window_merge_unshift(
         out.reshape(-1, ws, ws, C), ws, shift, H, W, (B,))
 
@@ -302,5 +365,5 @@ def fused_window_attention_windowed(
     C = C3 // 3
     if scale is None:
         scale = (C // num_heads) ** -0.5
-    return _fused_windows(qkv_w, rel_bias, shift_mask, num_heads,
-                          num_windows, scale, interpret)
+    return _maybe_packed(qkv_w, rel_bias, shift_mask, num_heads,
+                         num_windows, scale, interpret)
