@@ -709,31 +709,58 @@ class PatchMerging(nn.Module):
         algebraic fold below remains the fallback."""
         if not self.use_pallas_ln:
             return False
-        from mtlora_tpu.ops.pallas_ln_lora import ln_lora_supported
+        from mtlora_tpu.ops.pallas_ln_lora import (
+            ln_lora_supported,
+            merge_ln_supported,
+        )
 
+        H, W = self.input_resolution
         Ci, O = 4 * C, 2 * C
         itemsize = 2 if dtype == jnp.bfloat16 else 4
         passes = 1 if itemsize == 2 else 3
         # weight + fp32 dW accumulator + row blocks must fit scoped VMEM
         if Ci * O * (itemsize * passes + 4) > (12 << 20):
             return False
-        # the kernel consumes the 2x2-gathered [M/4, 4C] rows
+        if merge_ln_supported(M // (2 * W), W // 2, C):
+            # in-VMEM merge kernel path (any R works — th=1 at worst)
+            return True
+        # fallback kernel consumes the 2x2-gathered [M/4, 4C] rows
         return ln_lora_supported(M // 4, Ci, O)
 
     def _folded_pallas(self, x, H, W, C, lead, gamma, beta, kernel,
                        dtype):
-        from mtlora_tpu.ops.pallas_ln_lora import fused_ln_lora_linear
+        from mtlora_tpu.ops.pallas_ln_lora import (
+            fused_ln_lora_linear,
+            fused_merge_ln_linear,
+            merge_ln_supported,
+        )
         from mtlora_tpu.ops.window import merge2x2_cat
 
-        # 2x2 gather as free reshapes around ONE 6-D transpose — the
-        # measured-fastest formulation (see merge2x2_cat); the
-        # strided-slices+concat form lowered to XLA gather/scatter-add
-        # passes measured ~18 ms/step on the flagship trace
+        interp = jax.default_backend() == "cpu"
+        R = 1
+        for d in lead:
+            R *= d
+        R *= H // 2
+        if merge_ln_supported(R, W // 2, C):
+            # in-VMEM 2x2 gather: the kernel consumes the FREE
+            # [R, 2, W/2, 2C] row-major view — no HBM transpose, no
+            # lane-merging reshape (the merge2x2_cat route cost two
+            # full copies each direction, ~18 ms/step of glue on the
+            # flagship trace even in its fastest 6-D-transpose form)
+            xv = x.astype(dtype).reshape(R, 2, W // 2, 2 * C)
+            y = fused_merge_ln_linear(
+                xv, gamma.astype(dtype), beta.astype(dtype),
+                kernel.astype(dtype),
+                not self.freeze_pretrained, interp)
+            return y.reshape(*lead, (H // 2) * (W // 2), 2 * C)
+
+        # fallback (W/2 not sublane-tileable, e.g. the 28->14 stage-2
+        # merge): 2x2 gather as free reshapes around ONE 6-D transpose
+        # (see merge2x2_cat) feeding the general LN kernel
         xcat = merge2x2_cat(x.astype(dtype), H, W).reshape(-1, 4 * C)
         seed = jnp.zeros((2,), jnp.int32)
         A0 = jnp.zeros((4 * C, 1), dtype)
         B0 = jnp.zeros((1, 2 * C), dtype)
-        interp = jax.default_backend() == "cpu"
         y = fused_ln_lora_linear(
             xcat, gamma.astype(dtype), beta.astype(dtype),
             kernel.astype(dtype), jnp.zeros((2 * C,), dtype), A0, B0,

@@ -413,6 +413,274 @@ def _bwd_rule(scale, drop, out_p, out_act, out_drop, train_w, interpret,
 fused_ln_lora_linear.defvjp(_fwd_rule, _bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# PatchMerging merge+LN+GEMM kernel: the 2x2 gather happens IN VMEM.
+#
+# The merge2x2_cat route (free reshapes around one 6-D transpose feeding
+# fused_ln_lora_linear) still costs TWO full HBM copies each direction:
+# the transpose itself plus the (.., 2, 2, C) -> (.., 4C) lane-merging
+# reshape (~17.8 ms/step of "downsample glue" on the flagship trace).
+# This kernel instead consumes the FREE row-major view
+#
+#     x [R, 2, Wh, 2C]   (R = prod(lead)*H/2; pure bitcast of [.., H*W, C])
+#
+# whose blocks are fully contiguous in HBM, and performs the phase split
+# in VMEM: indexing di on dim 1 is free, and the lane dim already holds
+# the (dj, c) channel pairs. The reference's concat channel order
+# (k = di + 2*dj, swin_transformer_mtlora.py:451-455) is absorbed by
+# statically permuting gamma/beta/W rows on the host side (ours:
+# o = di*2C + dj*C + c), with the inverse permutation applied to their
+# gradients — LN statistics are order-invariant and the GEMM is a sum
+# over channels, so numerics are exactly the reference fold's.
+# ---------------------------------------------------------------------------
+
+
+def _merge_perm(C: int):
+    """Reference 4C concat order -> this kernel's (di, dj, c) order."""
+    import numpy as np
+
+    di = np.arange(4 * C) // (2 * C)
+    dj = (np.arange(4 * C) // C) % 2
+    c = np.arange(4 * C) % C
+    perm = (di + 2 * dj) * C + c
+    return perm, np.argsort(perm)
+
+
+def _merge_row_block(R, Wh, C4, O, itemsize):
+    """Rows-of-row-pairs per grid step: largest divisor of R whose x
+    block (th*Wh*C4 elems) fits ~4 MB (bwd also holds gy/dx blocks —
+    covered by the 64 MB scoped-VMEM ceiling)."""
+    cap = max(1, (4 << 20) // (Wh * C4 * itemsize))
+    best = None
+    for d in range(1, min(R, cap) + 1):
+        if R % d == 0:
+            best = d
+    return best
+
+
+def merge_ln_supported(R: int, Wh: int, C: int) -> bool:
+    """True when the in-VMEM merge kernel handles this shape: Wh must be
+    sublane-tileable (the in-kernel (th, Wh, 2C) -> (th*Wh, 2C) merge)."""
+    return Wh % 8 == 0 and R > 0
+
+
+def _merge_fwd_kernel(x_ref, g_ref, b_ref, w_ref, y_ref):
+    cdt = x_ref.dtype
+    th = x_ref.shape[0]
+    Wh = x_ref.shape[2]
+    C2 = x_ref.shape[3]
+    n = jnp.float32(2 * C2)
+    x = x_ref[...]
+    x0 = x[:, 0].reshape(th * Wh, C2).astype(jnp.float32)
+    x1 = x[:, 1].reshape(th * Wh, C2).astype(jnp.float32)
+    s1 = (jnp.sum(x0, axis=-1, keepdims=True)
+          + jnp.sum(x1, axis=-1, keepdims=True))
+    s2 = (jnp.sum(x0 * x0, axis=-1, keepdims=True)
+          + jnp.sum(x1 * x1, axis=-1, keepdims=True))
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    inv = jax.lax.rsqrt(var + _EPS)
+    acc = None
+    for di, xd in ((0, x0), (1, x1)):
+        ln = ((xd - mu) * inv * g_ref[di].astype(jnp.float32)
+              + b_ref[di].astype(jnp.float32))
+        d = jax.lax.dot_general(ln.astype(cdt), w_ref[di], _DN_STD,
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(cdt))
+        acc = d if acc is None else acc + d
+    y_ref[...] = acc.reshape(th, Wh, -1).astype(y_ref.dtype)
+
+
+def _merge_bwd_kernel(x_ref, g_ref, b_ref, w_ref, gy_ref, dx_ref,
+                      dg_ref, db_ref, dw_ref, *, train_w):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        if train_w:
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    cdt = x_ref.dtype
+    th = x_ref.shape[0]
+    Wh = x_ref.shape[2]
+    C2 = x_ref.shape[3]
+    n = jnp.float32(2 * C2)
+    x = x_ref[...]
+    x0 = x[:, 0].reshape(th * Wh, C2).astype(jnp.float32)
+    x1 = x[:, 1].reshape(th * Wh, C2).astype(jnp.float32)
+    s1 = (jnp.sum(x0, axis=-1, keepdims=True)
+          + jnp.sum(x1, axis=-1, keepdims=True))
+    s2 = (jnp.sum(x0 * x0, axis=-1, keepdims=True)
+          + jnp.sum(x1 * x1, axis=-1, keepdims=True))
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    inv = jax.lax.rsqrt(var + _EPS)
+    gp = gy_ref[...].reshape(th * Wh, -1).astype(cdt)
+
+    xhat = []
+    dxhat = []
+    for di, xd in ((0, x0), (1, x1)):
+        xh = (xd - mu) * inv
+        dln = jax.lax.dot_general(
+            gp, w_ref[di], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(cdt))
+        dg_ref[di, :] += jnp.sum(dln * xh, axis=0)
+        db_ref[di, :] += jnp.sum(dln, axis=0)
+        if train_w:
+            ln = (xh * g_ref[di].astype(jnp.float32)
+                  + b_ref[di].astype(jnp.float32))
+            dw_ref[di] += jax.lax.dot_general(
+                ln.astype(cdt), gp, _DN_T0,
+                preferred_element_type=jnp.float32,
+                precision=_prec(cdt))
+        xhat.append(xh)
+        dxhat.append(dln * g_ref[di].astype(jnp.float32))
+    m1 = (jnp.sum(dxhat[0], axis=-1, keepdims=True)
+          + jnp.sum(dxhat[1], axis=-1, keepdims=True)) / n
+    m2 = (jnp.sum(dxhat[0] * xhat[0], axis=-1, keepdims=True)
+          + jnp.sum(dxhat[1] * xhat[1], axis=-1, keepdims=True)) / n
+    dx0 = inv * (dxhat[0] - m1 - xhat[0] * m2)
+    dx1 = inv * (dxhat[1] - m1 - xhat[1] * m2)
+    dx_ref[:, 0] = dx0.reshape(th, Wh, C2).astype(dx_ref.dtype)
+    dx_ref[:, 1] = dx1.reshape(th, Wh, C2).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_merge_ln_linear(x, gamma, beta, kernel, train_w=False,
+                          interpret=False):
+    """PatchMerging 2x2-merge + LayerNorm + reduction GEMM, with the
+    merge gather done in VMEM (see module note above).
+
+    ``x``: [R, 2, Wh, 2C] — the FREE view of the [.., H, W, C] stream
+    (R = lead*H/2). ``gamma``/``beta``: [4C], ``kernel``: [4C, O], both
+    in the REFERENCE concat channel order (k = di + 2*dj). Returns
+    y [R, Wh, O]; the caller reshapes to [.., (H/2)*(W/2), O] for free.
+    ``train_w`` accumulates dW in-kernel (frozen reduction passes a
+    stop_gradient kernel and leaves it False)."""
+    return _merge_run_fwd(x, gamma, beta, kernel, interpret)
+
+
+def _merge_prep(gamma, beta, kernel):
+    C4 = gamma.shape[0]
+    perm, _ = _merge_perm(C4 // 4)
+    pidx = jnp.asarray(perm)
+    g2 = gamma[pidx].reshape(2, C4 // 2)
+    b2 = beta[pidx].reshape(2, C4 // 2)
+    w2 = kernel[pidx].reshape(2, C4 // 2, kernel.shape[1])
+    return g2, b2, w2
+
+
+def _merge_run_fwd(x, gamma, beta, kernel, interpret):
+    R, _, Wh, C2 = x.shape
+    O = kernel.shape[1]
+    g2, b2, w2 = _merge_prep(gamma, beta, kernel)
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    th = _merge_row_block(R, Wh, 2 * C2, O, itemsize)
+    y = pl.pallas_call(
+        _merge_fwd_kernel, grid=(R // th,),
+        in_specs=[
+            pl.BlockSpec((th, 2, Wh, C2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th, Wh, O), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, Wh, O), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, g2, b2, w2)
+    return y
+
+
+def _merge_fwd_rule(x, gamma, beta, kernel, train_w, interpret):
+    y = fused_merge_ln_linear(x, gamma, beta, kernel, train_w, interpret)
+    return y, (x, gamma, beta, kernel)
+
+
+def _merge_bwd_rule(train_w, interpret, res, gy):
+    x, gamma, beta, kernel = res
+    R, _, Wh, C2 = x.shape
+    O = kernel.shape[1]
+    C4 = 2 * C2
+    g2, b2, w2 = _merge_prep(gamma, beta, kernel)
+    itemsize = 2 if x.dtype == jnp.bfloat16 else 4
+    th = _merge_row_block(R, Wh, C4, O, itemsize)
+    kern = functools.partial(_merge_bwd_kernel, train_w=train_w)
+    dx, dg, db, dw = pl.pallas_call(
+        kern, grid=(R // th,),
+        in_specs=[
+            pl.BlockSpec((th, 2, Wh, C2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, Wh, O), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((th, 2, Wh, C2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((2, C2, O), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM) if train_w
+             else pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, 2, Wh, C2), x.dtype),
+            jax.ShapeDtypeStruct((2, C2), jnp.float32),
+            jax.ShapeDtypeStruct((2, C2), jnp.float32),
+            jax.ShapeDtypeStruct((2, C2, O) if train_w else (1, 1, 1),
+                                 jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, g2, b2, w2, gy)
+    _, iperm = _merge_perm(C4 // 4)
+    iidx = jnp.asarray(iperm)
+    dgamma = dg.reshape(C4)[iidx].astype(gamma.dtype)
+    dbeta = db.reshape(C4)[iidx].astype(beta.dtype)
+    if train_w:
+        dW = dw.reshape(C4, O)[iidx].astype(kernel.dtype)
+    else:
+        dW = jnp.zeros_like(kernel)
+    return dx, dgamma, dbeta, dW
+
+
+fused_merge_ln_linear.defvjp(_merge_fwd_rule, _merge_bwd_rule)
+
+
+def merge_ln_reference(x, gamma, beta, kernel):
+    """Pure-jnp reference for the merge kernel: x [R, 2, Wh, 2C] viewed
+    back to spatial, 2x2-gathered in the reference channel order, then
+    LN + GEMM (matches PatchMerging._folded numerics)."""
+    R, _, Wh, C2 = x.shape
+    C = C2 // 2
+    xs = x.reshape(R, 2, Wh, 2, C)
+    cat = jnp.concatenate(
+        [xs[:, 0, :, 0], xs[:, 1, :, 0], xs[:, 0, :, 1], xs[:, 1, :, 1]],
+        axis=-1)  # k = di + 2*dj
+    f = cat.astype(jnp.float32)
+    mu = f.mean(-1, keepdims=True)
+    var = (f * f).mean(-1, keepdims=True) - mu * mu
+    ln = ((f - mu) * jax.lax.rsqrt(var + _EPS)
+          * gamma.astype(jnp.float32) + beta.astype(jnp.float32))
+    y = ln.astype(x.dtype) @ kernel
+    return y.astype(x.dtype)
+
+
 def ln_lora_reference(x, gamma, beta, kernel, bias, A, B, scale,
                       keep_mask=None, drop=0.0, act=False):
     """Pure-jnp reference (dropout via an explicit keep mask)."""

@@ -201,3 +201,83 @@ def test_patchmerging_pallas_matches_fold():
                 np.asarray(fk[path]), np.asarray(ff[path]),
                 atol=3e-5, rtol=3e-5,
                 err_msg=f"{path} (freeze={freeze})")
+
+
+def test_merge_ln_kernel_matches_reference():
+    """fused_merge_ln_linear (in-VMEM 2x2 merge + LN + GEMM) vs the jnp
+    reference: fwd and all grads, train_w on and off."""
+    from mtlora_tpu.ops.pallas_ln_lora import (
+        fused_merge_ln_linear,
+        merge_ln_reference,
+    )
+
+    rs = np.random.RandomState(11)
+    R, Wh, C = 12, 8, 16
+    x = jnp.asarray(rs.randn(R, 2, Wh, 2 * C), jnp.float32)
+    g = jnp.asarray(rs.randn(4 * C) * 0.1 + 1, jnp.float32)
+    b = jnp.asarray(rs.randn(4 * C) * 0.1, jnp.float32)
+    W = jnp.asarray(rs.randn(4 * C, 2 * C) * 0.05, jnp.float32)
+
+    y = fused_merge_ln_linear(x, g, b, W, False, True)
+    yr = merge_ln_reference(x, g, b, W)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                               atol=2e-5, rtol=1e-5)
+
+    for train_w in (False, True):
+        def lk(x, g, b, W):
+            return jnp.sum(jnp.sin(fused_merge_ln_linear(
+                x, g, b, W, train_w, True)))
+
+        def lr(x, g, b, W):
+            return jnp.sum(jnp.sin(merge_ln_reference(x, g, b, W)))
+
+        gk = jax.grad(lk, argnums=(0, 1, 2, 3))(x, g, b, W)
+        gr = jax.grad(lr, argnums=(0, 1, 2, 3))(x, g, b, W)
+        for name, k, r in zip("x gamma beta W".split(), gk, gr):
+            if name == "W" and not train_w:
+                assert float(jnp.abs(k).max()) == 0.0
+                continue
+            scale = max(float(jnp.abs(r).max()), 1e-6)
+            rel = float(jnp.abs(k - r).max()) / scale
+            assert rel < 2e-5, (
+                f"merge grad mismatch for {name} (train_w={train_w}):"
+                f" rel {rel}")
+
+
+def test_patchmerging_merge_kernel_matches_fold():
+    """PatchMerging with W/2 sublane-tileable (the merge-kernel path)
+    must reproduce the algebraic fold, fwd and grads."""
+    from mtlora_tpu.models.swin import PatchMerging
+    from mtlora_tpu.models.lora import LoRASpec
+    import flax
+
+    H = W = 16
+    C = 16
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(3, H * W, C), jnp.float32)
+    for freeze in (False, True):
+        pk = PatchMerging((H, W), C, LoRASpec(r_shared=0),
+                          freeze_pretrained=freeze, use_pallas_ln=True)
+        pf = PatchMerging((H, W), C, LoRASpec(r_shared=0),
+                          freeze_pretrained=freeze, use_pallas_ln=False)
+        variables = pk.init(jax.random.PRNGKey(0), x)
+        yk, _ = pk.apply(variables, x)
+        yf, _ = pf.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(yk), np.asarray(yf),
+                                   atol=2e-5, rtol=2e-5)
+
+        def loss(m):
+            def f(p, x):
+                return jnp.sum(jnp.sin(m.apply({"params": p}, x)[0]))
+            return f
+
+        gk = jax.grad(loss(pk))(variables["params"], x)
+        gf = jax.grad(loss(pf))(variables["params"], x)
+        fk = flax.traverse_util.flatten_dict(gk)
+        ff = flax.traverse_util.flatten_dict(gf)
+        assert set(fk) == set(ff)
+        for path in sorted(fk):
+            np.testing.assert_allclose(
+                np.asarray(fk[path]), np.asarray(ff[path]),
+                atol=3e-5, rtol=3e-5,
+                err_msg=f"{path} (freeze={freeze})")

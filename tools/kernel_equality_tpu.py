@@ -253,6 +253,53 @@ def test_ln_lora_trainw():
             check(f"{name} {nm}", kv, rv, 5e-2)
 
 
+def test_merge_ln():
+    """PatchMerging in-VMEM merge kernel (fused_merge_ln_linear)
+    compiled on TPU at the flagship stage-0/1 merge shapes (shared and
+    task-stream leads), bf16 + fp32: fwd + dx/dgamma/dbeta/dW vs the
+    jnp reference, train_w both ways."""
+    from mtlora_tpu.ops.pallas_ln_lora import (
+        fused_merge_ln_linear, merge_ln_reference)
+
+    # (R, Wh, C): stage-0 shared lead 32*56, stage-1 task lead 128*28
+    # (the task-lead variants differ only in grid length)
+    for (R, Wh, C) in [(1792, 56, 96), (3584, 28, 192)]:
+        for dt, tol in ((jnp.bfloat16, 2e-2), (jnp.float32, 2e-4)):
+            rs = np.random.RandomState(R % 97 + C)
+            x = jnp.asarray(rs.randn(R, 2, Wh, 2 * C) * 0.5, dt)
+            g = jnp.asarray(rs.randn(4 * C) * 0.1 + 1, dt)
+            b = jnp.asarray(rs.randn(4 * C) * 0.1, dt)
+            W = jnp.asarray(rs.randn(4 * C, 2 * C) * 0.05, dt)
+            for train_w in (False, True):
+                name = (f"merge_ln R={R} Wh={Wh} C={C} "
+                        f"{dt.__name__} tw={train_w}")
+
+                def lk(x, g, b, W):
+                    y = fused_merge_ln_linear(x, g, b, W, train_w)
+                    return jnp.mean(y.astype(jnp.float32) ** 2), y
+
+                def lr(x, g, b, W):
+                    # pin the jnp reference to HIGHEST so fp32 compares
+                    # multi-pass-to-multi-pass (the kernel requests
+                    # HIGHEST for fp32 operands; jnp's TPU default is a
+                    # single bf16 pass, ~2e-3 rel)
+                    with jax.default_matmul_precision("highest"):
+                        y = merge_ln_reference(x, g, b, W)
+                    return jnp.mean(y.astype(jnp.float32) ** 2), y
+
+                (_, yk), gk = jax.jit(jax.value_and_grad(
+                    lk, argnums=(0, 1, 2, 3), has_aux=True))(x, g, b, W)
+                (_, yr), gr = jax.jit(jax.value_and_grad(
+                    lr, argnums=(0, 1, 2, 3), has_aux=True))(x, g, b, W)
+                check(name + " fwd", yk, yr, tol)
+                for nm, kv, rv in zip(("dx", "dgamma", "dbeta", "dW"),
+                                      gk, gr):
+                    if nm == "dW" and not train_w:
+                        continue  # stop-gradient use: zeros by contract
+                    check(f"{name} {nm}", kv, rv,
+                          tol if dt == jnp.float32 else 5e-2)
+
+
 def test_ln_mlp():
     """Whole-MLP fusion kernel (ops/pallas_ln_mlp.py) compiled on TPU at
     flagship no-task-block shapes, bf16: fwd + every trainable grad vs
@@ -444,6 +491,8 @@ if __name__ == "__main__":
         test_ln_lora()
     if only in (None, "trainw"):
         test_ln_lora_trainw()
+    if only in (None, "mergeln"):
+        test_merge_ln()
     if only in (None, "lnmlp"):
         test_ln_mlp()
     if only in (None, "lndrop") and plat != "cpu":
