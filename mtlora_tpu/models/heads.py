@@ -186,6 +186,149 @@ class UpDecoder(nn.Module):
         return jax.image.resize(x, (B, H * 4, W * 4, C), method="bilinear")
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's 1x1 param layout/init —
+    declares the same tree paths the module form would, so checkpoints
+    written by either form are interchangeable."""
+    cin: int
+    cout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_default_kernel_init,
+                       (1, 1, self.cin, self.cout), jnp.float32)
+        b = (self.param("bias",
+                        functools.partial(torch_default_bias_init,
+                                          fan_in=self.cin),
+                        (self.cout,), jnp.float32)
+             if self.use_bias else None)
+        return k, b
+
+
+class _BNParams(nn.Module):
+    """Parameter/variable holder matching nn.BatchNorm's layout."""
+    n: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.n,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.n,),
+                       jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.n,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.n,), jnp.float32))
+        return s, b, mean, var
+
+
+class _ConvBNParams(nn.Module):
+    """Parameter holder matching ConvBNRelu's `conv` + `bn` paths."""
+    cin: int
+    cout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k, b = _ConvParams(self.cin, self.cout, self.use_bias,
+                           name="conv")()
+        return (k, b) + _BNParams(self.cout, name="bn")()
+
+
+class HRNetHeadParams(nn.Module):
+    """Parameters of ONE HighResolutionHead (expand conv+bn, pred conv)
+    under the exact module paths `expand/{conv,bn}` / `pred` — used by
+    the task-batched head path (`batched_hrnet_heads`), which stacks the
+    T heads' kernels and runs ONE einsum per layer instead of T
+    sequential convs (reference runs a Python loop of per-task modules,
+    models/swin_mtl.py:78-85)."""
+    cin: int
+    num_outputs: int
+
+    @nn.compact
+    def __call__(self):
+        c4 = self.cin * 4
+        ek, eb, bs, bb, rm, rv = _ConvBNParams(self.cin, c4,
+                                               name="expand")()
+        pk, pb = _ConvParams(c4, self.num_outputs, name="pred")()
+        return dict(ek=ek, eb=eb, bs=bs, bb=bb, rm=rm, rv=rv,
+                    pk=pk, pb=pb)
+
+
+def batched_hrnet_heads(params, feats, num_outputs, *, train: bool,
+                        bn_momentum: float = 0.9, dtype=None):
+    """Task-batched HighResolutionHead forward.
+
+    Args:
+      params: list of T dicts from :class:`HRNetHeadParams`.
+      feats: per scale ``[T, B, r_s, r_s, ch_s]`` stacked task features.
+      num_outputs: per-task logit channel counts.
+    Returns: list of T ``[B, r0, r0, n_t]`` logit maps (finest scale).
+
+    Numerics match the per-task module path exactly: the 1x1 convs are
+    the same contractions (stacked over T in one einsum), and the BN
+    mirrors nn.BatchNorm (fp32 batch stats over (B, H, W), biased
+    variance, running update ra = m*ra + (1-m)*batch).
+    """
+    T = feats[0].shape[0]
+    size = feats[0].shape[2:4]
+    # upcat, batched over (T, B)
+    ups = [feats[0]]
+    for f in feats[1:]:
+        tb = f.shape[:2]
+        ups.append(jax.image.resize(
+            f, tb + size + f.shape[-1:], method="bilinear"))
+    x = jnp.concatenate(ups, axis=-1)          # [T, B, r0, r0, C]
+    Tn, B, r0, _, C = x.shape
+    cdt = dtype or x.dtype
+    x = x.reshape(T, B * r0 * r0, C).astype(cdt)
+
+    # expand: ONE einsum over stacked [T, C, 4C] kernels
+    ek = jnp.stack([p["ek"].reshape(C, 4 * C) for p in params])
+    eb = jnp.stack([p["eb"] for p in params])
+    h = jnp.einsum("tmc,tco->tmo", x, ek.astype(cdt),
+                   preferred_element_type=jnp.float32)
+    h = h + eb[:, None].astype(jnp.float32)
+
+    # batched per-task BatchNorm (fp32 stats, nn.BatchNorm semantics)
+    if train:
+        mu = jnp.mean(h, axis=1, keepdims=True)          # [T, 1, 4C]
+        var = jnp.mean(jnp.square(h), axis=1,
+                       keepdims=True) - jnp.square(mu)
+        for t, p in enumerate(params):
+            if hasattr(p["rm"], "value"):
+                p["rm"].value = (bn_momentum * p["rm"].value
+                                 + (1 - bn_momentum) * mu[t, 0])
+                p["rv"].value = (bn_momentum * p["rv"].value
+                                 + (1 - bn_momentum) * var[t, 0])
+    else:
+        mu = jnp.stack([jnp.asarray(p["rm"].value) for p in params]
+                       )[:, None]
+        var = jnp.stack([jnp.asarray(p["rv"].value) for p in params]
+                        )[:, None]
+    bs = jnp.stack([p["bs"] for p in params])[:, None]
+    bb = jnp.stack([p["bb"] for p in params])[:, None]
+    h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * bs + bb
+    h = nn.relu(h).astype(cdt)                           # [T, M, 4C]
+
+    # pred: per-task output widths are ragged; stack kernels padded to
+    # n_max (zero pad; n pads to the 128-lane MXU tile regardless) and
+    # slice per task
+    n_max = max(num_outputs)
+    pk = jnp.stack([
+        jnp.pad(p["pk"].reshape(4 * C, -1),
+                ((0, 0), (0, n_max - n)))
+        for p, n in zip(params, num_outputs)])
+    pb = jnp.stack([jnp.pad(p["pb"], (0, n_max - n))
+                    for p, n in zip(params, num_outputs)])
+    y = jnp.einsum("tmc,tcn->tmn", h, pk.astype(cdt),
+                   preferred_element_type=jnp.float32)
+    y = (y + pb[:, None]).astype(cdt)
+    return [y[t, :, :n].reshape(B, r0, r0, n)
+            for t, n in enumerate(num_outputs)]
+
+
 def get_head(task: str, num_outputs: int, config, *, dtype=None,
              multiscale: bool = True) -> nn.Module:
     """Head factory (reference models/swin_mtl.py:15-57)."""

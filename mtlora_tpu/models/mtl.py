@@ -184,6 +184,25 @@ class MultiTaskSwin(nn.Module):
                 enabled=self.decoder_downsampler, dtype=self.dtype,
                 name="downsampler")
             feats = down(per_scale)  # per scale [T, B, r, r, ch]
+            head_types = (self.head_types if self.head_types
+                          else ("hrnet",) * T)
+            if all(h == "hrnet" for h in head_types):
+                # task-batched HRNet heads: ONE einsum per layer over
+                # stacked [T, ...] kernels instead of T sequential
+                # convs; param paths identical to the module form
+                from mtlora_tpu.models.heads import (
+                    HRNetHeadParams, batched_hrnet_heads)
+
+                cin = sum(channels)
+                params = [HRNetHeadParams(cin, self.num_outputs[i],
+                                          name=f"decoder_{t}")()
+                          for i, t in enumerate(self.tasks)]
+                logits = batched_hrnet_heads(
+                    params, feats, list(self.num_outputs),
+                    train=train_bn, dtype=self.dtype)
+                return {t: resize_bilinear(
+                    logits[i], (self.img_size, self.img_size))
+                    for i, t in enumerate(self.tasks)}
             task_feats = {t: [f[i] for f in feats]
                           for i, t in enumerate(self.tasks)}
         else:
