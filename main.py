@@ -162,7 +162,7 @@ def main(args, config):
     # data ----------------------------------------------------------------
     if getattr(args, "synthetic_data", False) or not config.DATA.DATA_PATH:
         logger.warning("using synthetic data (no --pascal/--nyud given)")
-        from mtlora_tpu.data.loader import DataLoader
+        from mtlora_tpu.data.loader import DataLoader, ignore_fill_sample
         from mtlora_tpu.data.synthetic import SyntheticMTL
         from mtlora_tpu.data.transforms import get_transformations
 
@@ -171,8 +171,9 @@ def main(args, config):
         ds_train = SyntheticMTL(config.TASKS, config.DATA.IMG_SIZE,
                                 length=64, db_name=config.DATA.DBNAME,
                                 transform=tr_train)
+        val_len = int(os.environ.get("MTLORA_SYNTH_VAL_LEN", "16"))
         ds_val = SyntheticMTL(config.TASKS, config.DATA.IMG_SIZE,
-                              length=16, db_name=config.DATA.DBNAME,
+                              length=val_len, db_name=config.DATA.DBNAME,
                               transform=tr_val, seed=1)
         loader_train = DataLoader(ds_train, config.DATA.BATCH_SIZE,
                                   num_workers=config.DATA.NUM_WORKERS,
@@ -183,7 +184,9 @@ def main(args, config):
                                 shuffle=False, drop_last=False,
                                 num_workers=config.DATA.NUM_WORKERS,
                                 process_index=info["rank"],
-                                process_count=info["world"])
+                                process_count=info["world"],
+                                pad_last=True,
+                                pad_fill=ignore_fill_sample)
     else:
         from mtlora_tpu.data.loader import build_loader
 
@@ -221,7 +224,7 @@ def main(args, config):
                 params=params["params"],
                 batch_stats=params.get("batch_stats", state.batch_stats))
         else:
-            out = load_checkpoint(resume, state)
+            out = load_checkpoint(resume, state, mesh)
             state = out["state"]
             start_epoch = out["epoch"] + 1
             max_accuracy = out["max_accuracy"]
@@ -321,24 +324,42 @@ def _dump_scores(config, scores):
 
 def main_classification(args, config):
     """Non-MTL ImageNet classification mode (reference main.py without
-    --tasks: CE/smoothing/mixup training, top-1/5 validation)."""
+    --tasks: CE/smoothing/mixup training, top-1/5 validation).
+
+    Parity with the MTL driver (reference uses ONE driver for both
+    modes, main.py:290-307): multi-host initialize + per-process loader
+    sharding, checkpoint save every SAVE_FREQ + auto-resume
+    (utils.py:280-321), sample-exact padded validation, --eval and
+    --throughput modes. Mixup mixes within each process's local rows
+    (host-side augmentation; rank-offset RNG like ref main.py:570).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from mtlora_tpu.ckpt.checkpoint import (
+        auto_resume_helper, load_checkpoint, save_checkpoint)
     from mtlora_tpu.data.imagenet import (
         ClassificationTransform, ImageFolder, ZipImageFolder, mixup_cutmix)
     from mtlora_tpu.data.loader import DataLoader
     from mtlora_tpu.models.build import build_model
-    from mtlora_tpu.parallel.mesh import make_mesh, replicate_tree
+    from mtlora_tpu.parallel.distributed import initialize
+    from mtlora_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated, replicate_tree)
     from mtlora_tpu.train.classification import (
         make_classification_eval_step, make_classification_train_step)
+    from mtlora_tpu.train.loop import _device_batch
     from mtlora_tpu.train.optim import build_optimizer
-    from mtlora_tpu.train.step import TrainState
+    from mtlora_tpu.train.step import TrainState, jit_train_step
     from mtlora_tpu.utils.logger import AverageMeter, create_logger
 
+    info = initialize(getattr(args, "coordinator", None),
+                      getattr(args, "num_processes", None),
+                      getattr(args, "process_id", None))
+    np.random.seed(config.SEED + info["rank"])
     os.makedirs(config.OUTPUT, exist_ok=True)
-    logger = create_logger(config.OUTPUT, 0, config.MODEL.NAME)
+    logger = create_logger(config.OUTPUT, dist_rank=jax.process_index(),
+                           name=config.MODEL.NAME)
     img = int(config.DATA.IMG_SIZE)
     tr = ClassificationTransform(img)
     root = config.DATA.DATA_PATH
@@ -347,19 +368,47 @@ def main_classification(args, config):
                   else root, transform=tr, img_size=img)
     ds_val = DS(os.path.join(root, "val") if not config.DATA.ZIP_MODE
                 else root, transform=tr, img_size=img)
+
+    def _cls_pad_fill(sample):
+        sample["label"] = np.zeros_like(sample["label"])  # weight-0 row
+        return sample
+
     loader_train = DataLoader(ds_train, config.DATA.BATCH_SIZE,
                               num_workers=config.DATA.NUM_WORKERS,
-                              seed=config.SEED)
+                              seed=config.SEED,
+                              process_index=info["rank"],
+                              process_count=info["world"])
     loader_val = DataLoader(ds_val, config.DATA.BATCH_SIZE, shuffle=False,
                             drop_last=False,
-                            num_workers=config.DATA.NUM_WORKERS)
+                            num_workers=config.DATA.NUM_WORKERS,
+                            process_index=info["rank"],
+                            process_count=info["world"],
+                            pad_last=True, pad_fill=_cls_pad_fill)
     mesh = make_mesh(list(config.TPU.MESH_SHAPE))
     model = build_model(config)
     v = jax.jit(lambda r, x: model.init(r, x, return_stages=False,
                                         flatten_ft=True))(
         jax.random.PRNGKey(config.SEED),
         jnp.zeros((2, img, img, 3), jnp.float32))
-    if config.MODEL.PRETRAINED:
+    start_epoch = 0
+    max_accuracy = 0.0
+    resume = config.MODEL.RESUME
+    if config.TRAIN.AUTO_RESUME and not resume:
+        found = auto_resume_helper(config.OUTPUT)
+        if found:
+            logger.info(f"auto resuming from {found}")
+            resume = found
+    tx = build_optimizer(config, v["params"], len(loader_train),
+                         world_size=mesh.devices.size)
+    state = TrainState.create(params=v["params"], tx=tx,
+                              rng=jax.random.PRNGKey(config.SEED))
+    if resume:
+        out = load_checkpoint(resume, state, mesh)
+        state = out["state"]
+        start_epoch = out["epoch"] + 1
+        max_accuracy = out["max_accuracy"]
+        logger.info(f"resumed from {resume} at epoch {start_epoch}")
+    elif config.MODEL.PRETRAINED:
         # pretrained surgery incl. 22K->1K head remap (utils.py:179-277)
         from mtlora_tpu.ckpt.torch_convert import (
             load_torch_checkpoint, merge_converted, strip_backbone_prefix)
@@ -368,20 +417,55 @@ def main_classification(args, config):
             target_window_size=config.MODEL.SWIN.WINDOW_SIZE,
             target_num_patches=(img // 4) ** 2,
             num_classes=int(config.MODEL.NUM_CLASSES), verbose=True))
-        v = merge_converted(v, conv)
+        state = state.replace(params=merge_converted(
+            {"params": state.params}, conv)["params"])
         logger.info(f"loaded pretrained {config.MODEL.PRETRAINED}")
-    tx = build_optimizer(config, v["params"], len(loader_train),
-                         world_size=mesh.devices.size)
-    state = replicate_tree(
-        TrainState.create(params=v["params"], tx=tx,
-                          rng=jax.random.PRNGKey(config.SEED)), mesh)
-    step = jax.jit(make_classification_train_step(
-        model, tx, config.MODEL.LABEL_SMOOTHING))
-    eval_step = jax.jit(make_classification_eval_step(model))
+
+    from mtlora_tpu.parallel.distributed import barrier
+
+    barrier("cls_pre_replicate")
+    state = replicate_tree(state, mesh)
+    step = jit_train_step(make_classification_train_step(
+        model, tx, config.MODEL.LABEL_SMOOTHING), mesh)
+    rep, shd = replicated(mesh), batch_sharding(mesh)
+    eval_step = jax.jit(make_classification_eval_step(model),
+                        in_shardings=(rep, shd, shd, shd),
+                        out_shardings=rep)
+
+    def run_validate():
+        sums = {"n": 0.0, "correct1": 0.0, "correct5": 0.0}
+        for batch in loader_val.iter_epoch(0):
+            dev = _device_batch(batch, mesh)
+            w = dev.get("_valid",
+                        jnp.ones(dev["label"].shape[:1], jnp.float32))
+            counts = jax.device_get(eval_step(
+                state.params, dev["image"], dev["label"], w))
+            for k in sums:
+                sums[k] += float(counts[k])
+        n = max(sums["n"], 1.0)
+        return 100.0 * sums["correct1"] / n, 100.0 * sums["correct5"] / n
+
+    if config.THROUGHPUT_MODE:
+        from mtlora_tpu.train.loop import throughput
+
+        fwd = jax.jit(
+            lambda p, bs, x: model.apply({"params": p}, x,
+                                         return_stages=False,
+                                         flatten_ft=True),
+            in_shardings=(rep, rep, shd), out_shardings=shd)
+        throughput(config, state, fwd, loader_val, mesh, logger)
+        return
+    if config.EVAL_MODE:
+        a1, a5 = run_validate()
+        logger.info(f"eval: acc@1 {a1:.2f} acc@5 {a5:.2f}")
+        _dump_scores(config, {"classification": {"acc1": a1, "acc5": a5}})
+        return
+
     use_mixup = config.AUG.MIXUP > 0
     num_classes = int(config.MODEL.NUM_CLASSES)
-    rng = np.random.RandomState(config.SEED)
-    for epoch in range(config.TRAIN.EPOCHS):
+    rng = np.random.RandomState(config.SEED + info["rank"])
+    epoch = start_epoch
+    for epoch in range(start_epoch, config.TRAIN.EPOCHS):
         lm = AverageMeter()
         for batch in loader_train.iter_epoch(epoch):
             imgs, labels = batch["image"], batch["label"]
@@ -392,19 +476,26 @@ def main_classification(args, config):
                     cutmix_alpha=config.AUG.CUTMIX,
                     switch_prob=config.AUG.MIXUP_SWITCH_PROB,
                     label_smoothing=config.MODEL.LABEL_SMOOTHING, rng=rng)
-            state, m = step(state, {"image": jnp.asarray(imgs),
-                                    "label": jnp.asarray(labels)})
+            dev = _device_batch({"image": imgs, "label": labels}, mesh)
+            state, m = step(state, dev)
             lm.update(float(m["loss"]))
-        acc1 = AverageMeter()
-        acc5 = AverageMeter()
-        for batch in loader_val.iter_epoch(0):
-            accs = eval_step(state.params, jnp.asarray(batch["image"]),
-                             jnp.asarray(batch["label"]))
-            n = batch["image"].shape[0]
-            acc1.update(float(accs["acc1"]), n)
-            acc5.update(float(accs["acc5"]), n)
-        logger.info(f"epoch {epoch}: loss {lm.avg:.4f} "
-                    f"acc@1 {acc1.avg:.2f} acc@5 {acc5.avg:.2f}")
+        if (epoch % config.SAVE_FREQ == 0
+                or epoch == config.TRAIN.EPOCHS - 1):
+            # EVERY process calls into orbax (cross-process barriers
+            # inside; see the MTL driver note above)
+            save_checkpoint(config.OUTPUT, epoch, state, max_accuracy,
+                            config_dump=config.dump())
+        if epoch % config.EVAL_FREQ == 0:
+            a1, a5 = run_validate()
+            max_accuracy = max(max_accuracy, a1)
+            logger.info(f"epoch {epoch}: loss {lm.avg:.4f} "
+                        f"acc@1 {a1:.2f} acc@5 {a5:.2f} "
+                        f"(max {max_accuracy:.2f})")
+    a1, a5 = run_validate()
+    max_accuracy = max(max_accuracy, a1)
+    logger.info(f"final: acc@1 {a1:.2f} acc@5 {a5:.2f}")
+    _dump_scores(config, {"classification": {"acc1": a1, "acc5": a5,
+                                             "max_acc1": max_accuracy}})
 
 
 def _wandb_log_fn(args, config, logger):

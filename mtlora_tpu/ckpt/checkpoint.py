@@ -73,11 +73,22 @@ def auto_resume_helper(output_dir: str) -> Optional[str]:
     return max(full, key=os.path.getmtime)
 
 
-def load_checkpoint(path: str, state) -> Dict[str, Any]:
+def load_checkpoint(path: str, state, mesh=None) -> Dict[str, Any]:
     """Restore a checkpoint into a TrainState-shaped target.
+
+    ``mesh``: required under multi-process SPMD — the target leaves are
+    then ABSTRACT arrays with a replicated global sharding, so every
+    process materializes its replica straight from the (shared)
+    checkpoint files. Concrete per-process local arrays as targets make
+    orbax restore on one host and attempt cross-host device transfers,
+    which the CPU/TPU backends here reject (the reference's
+    torch.load-per-rank has the same every-process-reads semantics,
+    utils.py:295-309).
 
     Returns {"state": new_state, "epoch": int, "max_accuracy": float}.
     """
+    import jax
+
     ocp = _ocp()
     target = {
         "params": state.params,
@@ -87,6 +98,17 @@ def load_checkpoint(path: str, state) -> Dict[str, Any]:
         "rng": state.rng,
         "meta": np.zeros((2,), np.float64),
     }
+    if mesh is not None and jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def _abstract(x):
+            x = jax.numpy.asarray(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep)
+
+        for k in ("params", "opt_state", "batch_stats", "step", "rng"):
+            target[k] = jax.tree.map(_abstract, target[k])
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), target)
     new_state = state.replace(

@@ -39,6 +39,16 @@ def collate(samples: Sequence[Dict]) -> Dict:
     return out
 
 
+def ignore_fill_sample(sample: Dict) -> Dict:
+    """Pad-row fill: every target gets the 255 ignore sentinel (all
+    meters/losses mask 255; the residual no-mask accumulators are
+    excluded via the "_valid" row weight the loader attaches)."""
+    for k, v in sample.items():
+        if k != "image" and "meta" not in k:
+            sample[k] = np.full_like(v, 255)
+    return sample
+
+
 class DataLoader:
     """Shuffling, dropping-last, thread-prefetching batch loader."""
 
@@ -46,10 +56,24 @@ class DataLoader:
                  drop_last: bool = True, num_workers: int = 2,
                  seed: int = 0, prefetch: int = 4,
                  process_fn: Optional[Callable] = None,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 pad_last: bool = False,
+                 pad_fill: Optional[Callable] = None):
         """``batch_size`` is the GLOBAL batch; with ``process_count`` > 1
         each process loads its ``batch_size / process_count`` rows of
-        every global batch (row block ``process_index``)."""
+        every global batch (row block ``process_index``).
+
+        ``pad_last`` (requires ``drop_last=False``): pad the ragged
+        final global batch to full size instead of shrinking (single
+        process; avoids a jit recompile) or dropping it (multi-process;
+        the old sample-dropping behavior). Pad rows repeat sample 0
+        passed through ``pad_fill`` (which should overwrite targets with
+        their ignore sentinels) and every batch gains a ``"_valid"``
+        float32 [local_bs] row-validity mask — the eval path threads it
+        through meters and losses so padding contributes exactly
+        nothing (reference validate consumes every sample,
+        main.py:462-476).
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -60,6 +84,9 @@ class DataLoader:
         self.process_fn = process_fn
         self.process_index = process_index
         self.process_count = process_count
+        assert not (pad_last and drop_last)
+        self.pad_last = pad_last
+        self.pad_fill = pad_fill
         if process_count > 1:
             assert batch_size % process_count == 0, (
                 f"global batch {batch_size} must divide across "
@@ -68,9 +95,11 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset)
+        if self.pad_last:
+            return -(-n // self.batch_size)
         if self.drop_last or self.process_count > 1:
-            # multi-process: every process must run the same number of
-            # SPMD steps, so the ragged final global batch is dropped
+            # multi-process without padding: every process must run the
+            # same number of SPMD steps -> ragged final batch dropped
             return n // self.batch_size
         return -(-n // self.batch_size)
 
@@ -86,6 +115,12 @@ class DataLoader:
         if self.shuffle:
             np.random.RandomState(
                 np.array([self.seed, epoch], np.uint32)).shuffle(idx)
+        if self.pad_last:
+            # pad the ragged tail to a full global batch with -1 markers
+            # (materialized as ignore-filled pad samples in iter_epoch)
+            total = len(self) * self.batch_size
+            idx = np.concatenate(
+                [idx, np.full(total - len(idx), -1, idx.dtype)])
         if self.process_count > 1:
             nb = len(self)
             lbs = self.local_batch_size
@@ -103,6 +138,11 @@ class DataLoader:
         return self.iter_epoch(0)
 
     def iter_epoch(self, epoch: int) -> Iterator[Dict]:
+        if hasattr(self.dataset, "set_epoch"):
+            # (seed, epoch, index)-pure augmentation streams: exact
+            # resume replay + identical global batches under any
+            # process layout + thread-safe prefetch workers
+            self.dataset.set_epoch(epoch, self.seed)
         idx = self.epoch_indices(epoch)
         bs = self.local_batch_size
         batches = [idx[i:i + bs] for i in range(0, len(idx), bs)]
@@ -110,36 +150,58 @@ class DataLoader:
             batches = [b for b in batches if len(b) == bs]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        batch_iter = iter(batches)
+        batch_iter = iter(enumerate(batches))
         lock = threading.Lock()
         n_workers = self.num_workers
         done = object()
 
+        pad_sample = None
+        if self.pad_last:
+            pad_sample = self.dataset[0]
+            if self.pad_fill is not None:
+                pad_sample = self.pad_fill(dict(pad_sample))
+
         def worker():
             while True:
                 with lock:
-                    b = next(batch_iter, None)
-                if b is None:
+                    pos_b = next(batch_iter, None)
+                if pos_b is None:
                     q.put(done)
                     return
-                batch = collate([self.dataset[int(i)] for i in b])
+                pos, b = pos_b
+                batch = collate([self.dataset[int(i)] if i >= 0
+                                 else pad_sample for i in b])
+                if self.pad_last:
+                    batch["_valid"] = (np.asarray(b) >= 0).astype(
+                        np.float32)
                 if self.process_fn is not None:
                     batch = self.process_fn(batch)
-                q.put(batch)
+                q.put((pos, batch))
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(n_workers)]
         for t in threads:
             t.start()
+        # yield strictly in submission order: worker threads finish out
+        # of order, and under multi-process SPMD every process MUST emit
+        # global batch k at step k or the reassembled global batches mix
+        # rows across steps
         finished = 0
-        served = 0
-        while finished < n_workers and served < len(batches):
+        next_pos = 0
+        pending: Dict[int, Dict] = {}
+        while finished < n_workers and next_pos < len(batches):
             item = q.get()
             if item is done:
                 finished += 1
                 continue
-            served += 1
-            yield item
+            pos, batch = item
+            pending[pos] = batch
+            while next_pos in pending:
+                yield pending.pop(next_pos)
+                next_pos += 1
+        while next_pos in pending:  # defensive drain (should be empty)
+            yield pending.pop(next_pos)
+            next_pos += 1
 
 
 def build_loader(config):
@@ -180,5 +242,6 @@ def build_loader(config):
     loader_val = DataLoader(ds_val, config.DATA.BATCH_SIZE, shuffle=False,
                             drop_last=False,
                             num_workers=config.DATA.NUM_WORKERS,
-                            process_index=rank, process_count=world)
+                            process_index=rank, process_count=world,
+                            pad_last=True, pad_fill=ignore_fill_sample)
     return ds_train, ds_val, loader_train, loader_val, None

@@ -60,7 +60,11 @@ class MeterBase:
     def init(self) -> Dict:
         raise NotImplementedError
 
-    def update(self, state: Dict, pred, gt) -> Dict:
+    def update(self, state: Dict, pred, gt, weight=None) -> Dict:
+        """``weight``: optional per-sample [B] 0/1 validity — rows with
+        weight 0 (SPMD padding of the ragged final global batch) must
+        contribute EXACTLY nothing; meters are sum-accumulators, so a
+        0-weight row is exact."""
         raise NotImplementedError
 
     def compute(self, state: Dict, verbose: bool = False) -> Dict:
@@ -71,6 +75,15 @@ def _squeeze_label(gt):
     if gt.ndim == 4 and gt.shape[-1] == 1:
         gt = gt[..., 0]
     return gt
+
+
+def _row_ignore(gt, weight, fill):
+    """Overwrite whole samples (rows) with ``weight == 0`` by the
+    meter's ignore value, so every mask-based accumulator skips them."""
+    if weight is None:
+        return gt
+    w = weight.reshape((gt.shape[0],) + (1,) * (gt.ndim - 1))
+    return jnp.where(w > 0, gt, jnp.asarray(fill, gt.dtype))
 
 
 class ConfusionIoUMeter(MeterBase):
@@ -85,9 +98,10 @@ class ConfusionIoUMeter(MeterBase):
                       if jax.config.jax_enable_x64 else jnp.float32)
         return {"tp": z, "fp": z, "fn": z}
 
-    def update(self, state, pred, gt):
+    def update(self, state, pred, gt, weight=None):
         K = self.n_classes
         gt = _squeeze_label(gt).astype(jnp.int32)
+        gt = _row_ignore(gt, weight, self.ignore_index)
         pred = pred.astype(jnp.int32)
         valid = gt != self.ignore_index
         idx = jnp.where(valid, gt * K + pred, K * K)
@@ -132,10 +146,10 @@ class NormalsMeter(MeterBase):
         return {"v1_sum": z, "v1_1125": z, "v1_225": z, "v1_30": z,
                 "v1_n": z, "v2_sum": z, "v2_n": z}
 
-    def update(self, state, pred, gt):
+    def update(self, state, pred, gt, weight=None):
         # pred: [B,H,W,3] in 0..255 (get_output); gt: [B,H,W,3] floats
         p = 2.0 * pred.astype(jnp.float32) / 255.0 - 1.0
-        g = gt.astype(jnp.float32)
+        g = _row_ignore(gt.astype(jnp.float32), weight, 255.0)
         # ---- V1 (eval_normals_v1.py:31-55): mask where ANY per-element
         # 255; the valid mask used is channel-0's.
         invalid = g == 255.0
@@ -207,14 +221,15 @@ class SaliencyMeter(MeterBase):
                 "jac_sum": z((nn_,)), "prec_sum": z((nn_,)),
                 "rec_sum": z((nn_,)), "n_img": z(())}
 
-    def update(self, state, pred, gt):
+    def update(self, state, pred, gt, weight=None):
         # pred: [B,H,W] 0..255 (get_output); gt: [B,H,W(,1)] binary
         gt = _squeeze_label(gt).astype(jnp.float32)
         p01 = pred.astype(jnp.float32) / 255.0
-        valid = gt != self.ignore_index
+        gtb = _row_ignore(gt, weight, 255.0)
+        valid = gtb != self.ignore_index
         # ---- beta meter: double-sigmoid quirk (eval_sal_beta.py:38,55)
         pbeta = jax.nn.sigmoid(p01)
-        gl = gt.astype(jnp.int32)
+        gl = gtb.astype(jnp.int32)
 
         def beta_at(thr):
             f = jnp.where(valid, (pbeta >= thr), False)
@@ -224,8 +239,12 @@ class SaliencyMeter(MeterBase):
 
         tps, pps, aps = jax.lax.map(
             beta_at, jnp.asarray(self.beta_thresholds, jnp.float32))
-        # ---- no-beta meter: per-image jaccard/prec/rec
+        # ---- no-beta meter: per-image jaccard/prec/rec. This meter has
+        # NO ignore mask (reference quirk), so 0-weight padded rows are
+        # excluded by weighting the per-image sums, not the gt.
         gb = gt > 0.5  # gt already binarized in the dataset
+        wrow = (jnp.ones((pred.shape[0],), jnp.float32)
+                if weight is None else weight.astype(jnp.float32))
 
         def nb_at(thr):
             mask = p01 > thr  # [B,H,W]
@@ -238,11 +257,12 @@ class SaliencyMeter(MeterBase):
                             inter / jnp.maximum(union, 1e-12))
             prec = inter / (msum + 1e-12)
             rec = inter / (gsum + 1e-12)
-            return jac.sum(), prec.sum(), rec.sum()
+            return ((jac * wrow).sum(), (prec * wrow).sum(),
+                    (rec * wrow).sum())
 
         jacs, precs, recs = jax.lax.map(
             nb_at, jnp.asarray(self.nb_thresholds, jnp.float32))
-        B = pred.shape[0]
+        B = wrow.sum()
         return {"tp": state["tp"] + tps,
                 "pred_pos": state["pred_pos"] + pps,
                 "act_pos": state["act_pos"] + aps,
@@ -275,8 +295,9 @@ class DepthMeter(MeterBase):
         z = jnp.zeros((), jnp.float32)
         return {"sq": z, "log_sq": z, "n": z}
 
-    def update(self, state, pred, gt):
-        gt = _squeeze_label(gt).astype(jnp.float32)
+    def update(self, state, pred, gt, weight=None):
+        gt = _row_ignore(_squeeze_label(gt).astype(jnp.float32),
+                         weight, 255.0)
         pred = pred.astype(jnp.float32)
         mask = gt != 255.0
         pred = jnp.maximum(pred, 1e-9)
@@ -301,11 +322,16 @@ class EdgeMeter(MeterBase):
         z = jnp.zeros((), jnp.float32)
         return {"loss": z, "n": z}
 
-    def update(self, state, pred, gt):
+    def update(self, state, pred, gt, weight=None):
         gt = _squeeze_label(gt).astype(jnp.float32)
         p = pred.astype(jnp.float32) / 255.0  # probabilities-as-logits quirk
-        loss = balanced_bce_logits(p, gt, pos_weight=self.pos_weight)
-        numel = gt.size
+        loss = balanced_bce_logits(p, gt, pos_weight=self.pos_weight,
+                                   row_weight=weight)
+        if weight is None:
+            numel = gt.size
+        else:
+            numel = weight.astype(jnp.float32).sum() * (gt.size
+                                                        // gt.shape[0])
         return {"loss": state["loss"] + numel * loss,
                 "n": state["n"] + numel}
 
@@ -344,18 +370,21 @@ class PerformanceMeter:
     def reset(self):
         self.states = {t: self.meters[t].init() for t in self.tasks}
 
-    def update(self, preds: Dict, targets: Dict, processed: bool = False):
+    def update(self, preds: Dict, targets: Dict, processed: bool = False,
+               weight=None):
         """preds: raw NHWC logits (or get_output results if processed)."""
         for t in self.tasks:
             p = preds[t] if processed else get_output(preds[t], t)
             self.states[t] = self.meters[t].update(self.states[t], p,
-                                                   targets[t])
+                                                   targets[t], weight)
 
-    def update_jit(self, states, preds, targets):
-        """Pure functional update for use inside jit."""
+    def update_jit(self, states, preds, targets, weight=None):
+        """Pure functional update for use inside jit. ``weight``:
+        optional per-sample [B] 0/1 validity mask (SPMD padding of the
+        ragged final global batch contributes exactly nothing)."""
         return {t: self.meters[t].update(states[t],
                                          get_output(preds[t], t),
-                                         targets[t])
+                                         targets[t], weight)
                 for t in self.tasks}
 
     def get_score(self, verbose: bool = True) -> Dict:

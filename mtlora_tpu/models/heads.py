@@ -284,17 +284,22 @@ def batched_hrnet_heads(params, feats, num_outputs, *, train: bool,
     cdt = dtype or x.dtype
     x = x.reshape(T, B * r0 * r0, C).astype(cdt)
 
-    # expand: ONE einsum over stacked [T, C, 4C] kernels
+    # expand: ONE einsum over stacked [T, C, 4C] kernels. The [T, M, 4C]
+    # hidden materializes ONCE in the compute dtype (an fp32 carry here
+    # costs a ~7 GB round-trip at 448/batch-32 and was measured -7
+    # img/s); BN statistics read it back with fp32 reductions exactly
+    # like nn.BatchNorm does.
     ek = jnp.stack([p["ek"].reshape(C, 4 * C) for p in params])
     eb = jnp.stack([p["eb"] for p in params])
     h = jnp.einsum("tmc,tco->tmo", x, ek.astype(cdt),
                    preferred_element_type=jnp.float32)
-    h = h + eb[:, None].astype(jnp.float32)
+    h = (h + eb[:, None]).astype(cdt)
 
     # batched per-task BatchNorm (fp32 stats, nn.BatchNorm semantics)
     if train:
-        mu = jnp.mean(h, axis=1, keepdims=True)          # [T, 1, 4C]
-        var = jnp.mean(jnp.square(h), axis=1,
+        hf = h.astype(jnp.float32)
+        mu = jnp.mean(hf, axis=1, keepdims=True)         # [T, 1, 4C]
+        var = jnp.mean(jnp.square(hf), axis=1,
                        keepdims=True) - jnp.square(mu)
         for t, p in enumerate(params):
             if hasattr(p["rm"], "value"):
@@ -309,8 +314,11 @@ def batched_hrnet_heads(params, feats, num_outputs, *, train: bool,
                         )[:, None]
     bs = jnp.stack([p["bs"] for p in params])[:, None]
     bb = jnp.stack([p["bb"] for p in params])[:, None]
-    h = (h - mu) * jax.lax.rsqrt(var + 1e-5) * bs + bb
-    h = nn.relu(h).astype(cdt)                           # [T, M, 4C]
+    # normalize in the compute dtype (scale/offset fold into one
+    # mul+add pass; matches nn.BatchNorm's dtype behavior)
+    mul = (jax.lax.rsqrt(var + 1e-5) * bs).astype(cdt)
+    add = (bb - mu * jax.lax.rsqrt(var + 1e-5) * bs).astype(cdt)
+    h = nn.relu(h * mul + add)                           # [T, M, 4C]
 
     # pred: per-task output widths are ragged; stack kernels padded to
     # n_max (zero pad; n pads to the 128-lane MXU tile regardless) and

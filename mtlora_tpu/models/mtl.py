@@ -13,6 +13,7 @@ scale, so all tasks ride a single MXU matmul.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -186,7 +187,14 @@ class MultiTaskSwin(nn.Module):
             feats = down(per_scale)  # per scale [T, B, r, r, ch]
             head_types = (self.head_types if self.head_types
                           else ("hrnet",) * T)
-            if all(h == "hrnet" for h in head_types):
+            # Default OFF: the task-batched einsum form measured SLOWER
+            # end-to-end than XLA's four sequential head chains (153.0
+            # vs 156.0 img/s at flagship 448/batch-32) — the [T, M, 4C]
+            # hidden materialization beats conv fusion's locality. Kept
+            # (parity-tested) for wider-T configs where batching wins.
+            batched_heads = os.environ.get(
+                "MTLORA_BATCHED_HEADS", "0") != "0"
+            if batched_heads and all(h == "hrnet" for h in head_types):
                 # task-batched HRNet heads: ONE einsum per layer over
                 # stacked [T, ...] kernels instead of T sequential
                 # convs; param paths identical to the module form

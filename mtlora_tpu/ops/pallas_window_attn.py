@@ -82,60 +82,91 @@ def _head_softmax(x, bias, mask, h, *, C, hd, scale):
 
 
 def _fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, num_heads,
-                scale, has_mask):
-    x = qkv_ref[...]  # [nW, N, 3C]
+                scale, has_mask, chunks=1):
+    """``chunks == 1``: block [G, N, 3C], one window(-pack) per row
+    group. ``chunks > 1`` (dense mode): block [G, chunks*N, 3C] holding
+    ``chunks`` window-packs as consecutive row chunks — the block then
+    reshapes FREELY from the flat win-major token layout (chunks*N is a
+    sublane-tileable 392 for ws=7 pack-2), killing the N=49 pad repack
+    at the kernel boundary. Chunk rows are sliced at (unaligned) N
+    offsets in-kernel; measured cost ~= 0 (pack2x4 ties pack2 in
+    tools/attn_variants.py)."""
+    x = qkv_ref[...]  # [G, chunks*N, 3C]
     C = x.shape[-1] // 3
     hd = C // num_heads
-    mask = mask_ref[0] if has_mask else None
-    outs = []
-    for h in range(num_heads):
-        p = _head_softmax(x, bias_ref[...], mask, h, C=C, hd=hd,
-                          scale=scale)
-        v = x[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
-        outs.append(jax.lax.dot_general(
-            p.astype(v.dtype), v, dimension_numbers=_DN_PV,
-            preferred_element_type=jnp.float32,
-            precision=_prec(v.dtype)))
-    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    N = x.shape[1] // chunks
+    couts = []
+    for c in range(chunks):
+        xc = x[:, c * N:(c + 1) * N] if chunks > 1 else x
+        # mask block: (1, G, N, N) when chunks == 1 (per-window slice of
+        # the group), (G, chunks, N, N) in dense mode (per cell, chunk)
+        mask = ((mask_ref[:, c] if chunks > 1 else mask_ref[0])
+                if has_mask else None)
+        outs = []
+        for h in range(num_heads):
+            p = _head_softmax(xc, bias_ref[...], mask, h, C=C, hd=hd,
+                              scale=scale)
+            v = xc[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            outs.append(jax.lax.dot_general(
+                p.astype(v.dtype), v, dimension_numbers=_DN_PV,
+                preferred_element_type=jnp.float32,
+                precision=_prec(v.dtype)))
+        couts.append(jnp.concatenate(outs, axis=-1))
+    out = (jnp.concatenate(couts, axis=-2) if chunks > 1 else couts[0])
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _bwd_kernel(qkv_ref, bias_ref, mask_ref, do_ref,
-                dqkv_ref, dbias_ref, *, num_heads, scale, has_mask):
+                dqkv_ref, dbias_ref, *, num_heads, scale, has_mask,
+                chunks=1):
     x = qkv_ref[...]
     C = x.shape[-1] // 3
     hd = C // num_heads
-    mask = mask_ref[0] if has_mask else None
-    do_w = do_ref[...]  # [nW, N, C]
-    dqs, dks, dvs, dbs = [], [], [], []
-    for h in range(num_heads):
-        p = _head_softmax(x, bias_ref[...], mask, h, C=C, hd=hd,
-                          scale=scale)
-        q = x[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
-        k = x[:, :, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
-        v = x[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd].astype(
-            jnp.float32)
-        do_h = do_w[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
-        dvs.append(jax.lax.dot_general(
-            p, do_h, dimension_numbers=_DN_T1,
-            preferred_element_type=jnp.float32,
-            precision=_prec(x.dtype)))
-        dp = jax.lax.dot_general(
-            do_h, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=_prec(x.dtype))  # [nW, N, N]
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dbs.append(jnp.sum(ds, axis=0))
-        dqs.append(jax.lax.dot_general(
-            ds, k, dimension_numbers=_DN_PV,
-            preferred_element_type=jnp.float32,
-            precision=_prec(x.dtype)) * scale)
-        dks.append(jax.lax.dot_general(
-            ds, q * scale, dimension_numbers=_DN_T1,
-            preferred_element_type=jnp.float32,
-            precision=_prec(x.dtype)))
-    dbias_ref[0] = jnp.stack(dbs).astype(dbias_ref.dtype)
-    dqkv_ref[...] = jnp.concatenate(
-        dqs + dks + dvs, axis=-1).astype(dqkv_ref.dtype)
+    N = x.shape[1] // chunks
+    do_full = do_ref[...]  # [G, chunks*N, C]
+    cgrads = []
+    dbs_acc = None
+    for c in range(chunks):
+        xc = x[:, c * N:(c + 1) * N] if chunks > 1 else x
+        mask = ((mask_ref[:, c] if chunks > 1 else mask_ref[0])
+                if has_mask else None)
+        do_w = (do_full[:, c * N:(c + 1) * N] if chunks > 1
+                else do_full)
+        dqs, dks, dvs, dbs = [], [], [], []
+        for h in range(num_heads):
+            p = _head_softmax(xc, bias_ref[...], mask, h, C=C, hd=hd,
+                              scale=scale)
+            q = xc[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+            k = xc[:, :, C + h * hd:C + (h + 1) * hd].astype(
+                jnp.float32)
+            v = xc[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd].astype(
+                jnp.float32)
+            do_h = do_w[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+            dvs.append(jax.lax.dot_general(
+                p, do_h, dimension_numbers=_DN_T1,
+                preferred_element_type=jnp.float32,
+                precision=_prec(x.dtype)))
+            dp = jax.lax.dot_general(
+                do_h, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=_prec(x.dtype))  # [G, N, N]
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dbs.append(jnp.sum(ds, axis=0))
+            dqs.append(jax.lax.dot_general(
+                ds, k, dimension_numbers=_DN_PV,
+                preferred_element_type=jnp.float32,
+                precision=_prec(x.dtype)) * scale)
+            dks.append(jax.lax.dot_general(
+                ds, q * scale, dimension_numbers=_DN_T1,
+                preferred_element_type=jnp.float32,
+                precision=_prec(x.dtype)))
+        cgrads.append(jnp.concatenate(dqs + dks + dvs, axis=-1))
+        db = jnp.stack(dbs)
+        dbs_acc = db if dbs_acc is None else dbs_acc + db
+    dbias_ref[0] = dbs_acc.astype(dbias_ref.dtype)
+    dqkv = (jnp.concatenate(cgrads, axis=-2) if chunks > 1
+            else cgrads[0])
+    dqkv_ref[...] = dqkv.astype(dqkv_ref.dtype)
 
 
 def _specs(G, N, C3, n_groups, has_mask):
@@ -193,17 +224,68 @@ def _pack2_mask(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+# Dense mode: 4 window-pairs (392 = 8*49 rows, sublane-tileable) per
+# kernel instance, so the input/output blocks reshape FREELY from/to the
+# flat win-major token layout — the [B*nW, 49->56pad, 3C] boundary
+# repacks (the "N=49 pad repack" bucket of the step profile) vanish.
+# Kernel math is chunk-sliced pack-2, bit-identical to the packed path
+# (tools/attn_variants.py: pack2x4 ties full(pack2) in kernel time).
+_DENSE_CHUNKS = 4
+
+
+def _dense_enabled() -> bool:
+    # Default OFF: measured end-to-end A/B at flagship 448/batch-32 put
+    # dense at 152.3 vs 153.3 img/s with it off — the saved boundary
+    # repacks did not beat the in-kernel unaligned chunk slices. Kept
+    # (equality-tested) as the substrate for future layout work.
+    import os
+
+    return os.environ.get("MTLORA_ATTN_DENSE", "0") != "0"
+
+
+def _dense_mask(mask2, nw2):
+    """[nW2, 98, 98] pack-2 masks -> ([mg, 4, 98, 98], mg) tiling the
+    per-image mask period over 4-pair cells, or None if incompatible."""
+    if nw2 % _DENSE_CHUNKS == 0:
+        mg = nw2 // _DENSE_CHUNKS
+        return mask2.reshape(mg, _DENSE_CHUNKS, *mask2.shape[-2:]), mg
+    if _DENSE_CHUNKS % nw2 == 0:
+        # cells span images; the mask pattern tiles exactly
+        reps = _DENSE_CHUNKS // nw2
+        return (jnp.concatenate([mask2] * reps, axis=0)
+                .reshape(1, _DENSE_CHUNKS, *mask2.shape[-2:]), 1)
+    return None, None
+
+
 def _maybe_packed(qkv_w, bias, mask, num_heads, nw, scale, interpret):
     """Dispatch to the kernel, packing two windows per instance when the
-    shapes allow (see module docstring)."""
+    shapes allow (see module docstring), and grouping four pairs into
+    dense 392-row cells when the layout allows (see _DENSE_CHUNKS)."""
     Btot, N, C3 = qkv_w.shape
     if 2 * N <= 128 and (
             nw % 2 == 0 or (nw == 1 and mask is None and Btot % 2 == 0)):
-        qkv_p = qkv_w.reshape(Btot // 2, 2 * N, C3)
+        P = Btot // 2
+        nw2 = max(1, nw // 2)
         bias2 = _pack2_bias(bias)
         mask2 = _pack2_mask(mask) if mask is not None else None
-        out = _fused_windows(qkv_p, bias2, mask2, num_heads,
-                             max(1, nw // 2), scale, interpret)
+        if (qkv_w.dtype == jnp.bfloat16 and N == 49
+                and P % _DENSE_CHUNKS == 0 and _dense_enabled()):
+            if mask2 is None:
+                mask_d, mg = None, None
+                ok = True
+            else:
+                mask_d, mg = _dense_mask(mask2, nw2)
+                ok = mask_d is not None
+            if ok:
+                qkv_d = qkv_w.reshape(P // _DENSE_CHUNKS,
+                                      2 * N * _DENSE_CHUNKS, C3)
+                out = _fused_windows_dense(qkv_d, bias2, mask_d,
+                                           num_heads, mg, scale,
+                                           interpret)
+                return out.reshape(Btot, N, C3 // 3)
+        qkv_p = qkv_w.reshape(P, 2 * N, C3)
+        out = _fused_windows(qkv_p, bias2, mask2, num_heads, nw2,
+                             scale, interpret)
         return out.reshape(Btot, N, C3 // 3)
     return _fused_windows(qkv_w, bias, mask, num_heads, nw, scale,
                           interpret)
@@ -293,6 +375,125 @@ def _run_bwd(qkv_w, bias, mask, do, num_heads, nw, scale, interpret):
         interpret=interpret,
     )(qkv_w, bias, mask_arg, do)
     return dqkv, dbias.sum(axis=0)
+
+
+def _dense_grid(n_cells, mg, C3, has_mask, bwd):
+    """(Gc, n_inner, grid) for dense cells: Gc cells per block with the
+    same per-window VMEM budget as the packed path (a cell is 4 pack-2
+    windows, so the per-cell budget is 4x the packed 3 MB/pair and the
+    cell cap is the packed 64-pair cap / 4); blocks must stay within
+    one mask period."""
+    per_win = 98 * C3 * 2 + (98 * 98 * 4 if has_mask else 0)
+    pair_cap = max(4, min(64, (3 << 20) // per_win))
+    cap = max(1, pair_cap // _DENSE_CHUNKS)
+    Gc = _group_size(mg if has_mask else n_cells, cap)
+    n_inner = (mg // Gc) if has_mask else 1
+    return Gc, n_inner, (n_cells // (Gc * n_inner), n_inner)
+
+
+def _dense_specs(Gc, n_inner, C3, has_mask):
+    R = 2 * 49 * _DENSE_CHUNKS
+    in_specs = [
+        pl.BlockSpec((Gc, R, C3), lambda b, g: (b * n_inner + g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # bias2 (replicated)
+    ]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(
+            (Gc, _DENSE_CHUNKS, 98, 98), lambda b, g: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    return in_specs
+
+
+def _run_fwd_dense(qkv_d, bias2, mask_d, num_heads, mg, scale,
+                   interpret):
+    n_cells, R, C3 = qkv_d.shape
+    C = C3 // 3
+    has_mask = mask_d is not None
+    Gc, n_inner, grid = _dense_grid(n_cells, mg, C3, has_mask, False)
+    mask_arg = mask_d if has_mask else jnp.zeros((1, 1), qkv_d.dtype)
+    kernel = functools.partial(_fwd_kernel, num_heads=num_heads,
+                               scale=scale, has_mask=has_mask,
+                               chunks=_DENSE_CHUNKS)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=_dense_specs(Gc, n_inner, C3, has_mask),
+        out_specs=pl.BlockSpec(
+            (Gc, R, C), lambda b, g: (b * n_inner + g, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_cells, R, C), qkv_d.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(qkv_d, bias2, mask_arg)
+
+
+def _run_bwd_dense(qkv_d, bias2, mask_d, do, num_heads, mg, scale,
+                   interpret):
+    n_cells, R, C3 = qkv_d.shape
+    C = C3 // 3
+    has_mask = mask_d is not None
+    Gc, n_inner, grid = _dense_grid(n_cells, mg, C3, has_mask, True)
+    mask_arg = mask_d if has_mask else jnp.zeros((1, 1), qkv_d.dtype)
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads,
+                               scale=scale, has_mask=has_mask,
+                               chunks=_DENSE_CHUNKS)
+    in_specs = _dense_specs(Gc, n_inner, C3, has_mask)
+    in_specs.append(pl.BlockSpec(
+        (Gc, R, C), lambda b, g: (b * n_inner + g, 0, 0),
+        memory_space=pltpu.VMEM))
+    n_blocks = n_cells // Gc
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((Gc, R, C3),
+                         lambda b, g: (b * n_inner + g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, 98, 98),
+                         lambda b, g: (b * n_inner + g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_cells, R, C3), qkv_d.dtype),
+            jax.ShapeDtypeStruct((n_blocks, num_heads, 98, 98),
+                                 jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(qkv_d, bias2, mask_arg, do)
+    return dqkv, dbias.sum(axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_windows_dense(qkv_d, bias2, mask_d, num_heads, mg, scale,
+                         interpret):
+    return _run_fwd_dense(qkv_d, bias2, mask_d, num_heads, mg, scale,
+                          interpret)
+
+
+def _fwd_rule_dense(qkv_d, bias2, mask_d, num_heads, mg, scale,
+                    interpret):
+    out = _run_fwd_dense(qkv_d, bias2, mask_d, num_heads, mg, scale,
+                         interpret)
+    return out, (qkv_d, bias2, mask_d)
+
+
+def _bwd_rule_dense(num_heads, mg, scale, interpret, res, do):
+    qkv_d, bias2, mask_d = res
+    dqkv, dbias = _run_bwd_dense(qkv_d, bias2, mask_d, do, num_heads,
+                                 mg, scale, interpret)
+    return dqkv, dbias.astype(bias2.dtype), None
+
+
+_fused_windows_dense.defvjp(_fwd_rule_dense, _bwd_rule_dense)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -78,10 +78,29 @@ def make_classification_train_step(model, tx: optax.GradientTransformation,
     return train_step
 
 
+def accuracy_topk_counts(logits: jnp.ndarray, labels: jnp.ndarray,
+                         weight: jnp.ndarray = None,
+                         topk: Tuple[int, ...] = (1, 5),
+                         ) -> Dict[str, jnp.ndarray]:
+    """top-k CORRECT COUNTS + weighted sample count — sum-accumulator
+    form, so batches (and SPMD pad rows via 0 ``weight``) combine
+    exactly; ``accuracy = 100 * correct / n`` on the host."""
+    labels = labels.astype(jnp.int32)
+    w = (jnp.ones(labels.shape[:1], jnp.float32) if weight is None
+         else weight.astype(jnp.float32))
+    out = {"n": w.sum()}
+    for k in topk:
+        kk = min(k, logits.shape[-1])
+        _, pred = jax.lax.top_k(logits, kk)
+        correct = (pred == labels[:, None]).any(axis=-1)
+        out[f"correct{k}"] = (correct.astype(jnp.float32) * w).sum()
+    return out
+
+
 def make_classification_eval_step(model) -> Callable:
-    def eval_step(params, images, labels):
+    def eval_step(params, images, labels, weight=None):
         logits = model.apply({"params": params}, images,
                              return_stages=False, flatten_ft=True)
-        return accuracy_topk(logits, labels)
+        return accuracy_topk_counts(logits, labels, weight)
 
     return eval_step

@@ -163,14 +163,19 @@ def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
         # ONE jitted device-side update per batch: meter states AND the
         # per-task eval losses accumulate on device; the host syncs once
         # after the loop (the reference round-trips per batch,
-        # main.py:466-476)
+        # main.py:466-476). ``weight`` is either the scalar batch size
+        # or a per-sample [B] 0/1 validity mask (pad_last loaders): pad
+        # rows contribute exactly nothing to meters or losses.
         @jax.jit
         def update_jit(states, loss_sums, preds, targets, weight):
-            new_states = meter.update_jit(states, preds, targets)
-            _, per_task = multi_task_loss(preds, targets, tasks)
-            new_sums = {t: loss_sums[t] + per_task[t] * weight
+            wrow = weight if jnp.ndim(weight) else None
+            new_states = meter.update_jit(states, preds, targets, wrow)
+            _, per_task = multi_task_loss(preds, targets, tasks,
+                                          row_weight=wrow)
+            n = weight.sum() if wrow is not None else weight
+            new_sums = {t: loss_sums[t] + per_task[t] * n
                         for t in tasks}
-            new_sums["_n"] = loss_sums["_n"] + weight
+            new_sums["_n"] = loss_sums["_n"] + n
             return new_states, new_sums
 
     states = meter.states
@@ -193,8 +198,9 @@ def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
         preds = eval_step(state.params, state.batch_stats,
                           dev_batch["image"])
         targets = {t: dev_batch[t] for t in tasks}
+        weight = dev_batch.get("_valid", float(bsz))
         states, loss_sums = update_jit(states, loss_sums, preds, targets,
-                                       float(bsz))
+                                       weight)
     # NOTE: no cross-host allreduce here — update_jit consumed GLOBAL
     # sharded batches (SPMD), so `states` is already the global sum,
     # replicated on every process. allreduce_meter_states remains for
@@ -240,5 +246,17 @@ def throughput(config, state, eval_step, loader=None, mesh=None,
     dt = time.perf_counter() - t0
     rate = timed * B / dt
     if logger:
-        logger.info(f"batch_size {B} throughput {rate:.1f} img/s")
+        # say WHICH forward was measured: by default eval clones run
+        # fp32 with the Pallas kernels disabled (reference outside-
+        # autocast parity; models/mtl.py:eval_model_for) — ~3x slower
+        # than the bf16 production eval path (TPU.EVAL_DTYPE bfloat16)
+        dtype = "bfloat16" if (config is not None and str(
+            config.get("TPU", {}).get("EVAL_DTYPE", "float32"))
+            == "bfloat16") else "float32"
+        path = ("bf16 + Pallas kernels (production eval path)"
+                if dtype == "bfloat16" else
+                "fp32, Pallas kernels disabled (reference eval-parity "
+                "path; set TPU.EVAL_DTYPE bfloat16 for the fast path)")
+        logger.info(f"batch_size {B} throughput {rate:.1f} img/s "
+                    f"[measured: {path}]")
     return rate

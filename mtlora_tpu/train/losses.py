@@ -51,28 +51,45 @@ def softmax_ce_ignore(logits: jnp.ndarray, label: jnp.ndarray,
 
 
 def balanced_bce_logits(logits: jnp.ndarray, label: jnp.ndarray,
-                        pos_weight: Optional[float] = None) -> jnp.ndarray:
+                        pos_weight: Optional[float] = None,
+                        row_weight: Optional[jnp.ndarray] = None,
+                        ) -> jnp.ndarray:
     """HED-style class-balanced binary CE on logits.
 
     Matches BalancedCrossEntropyLoss.forward exactly, including its
     numerically-stable log1p(exp) form and division by the TOTAL element
-    count (size_average=True), not the valid count.
+    count (size_average=True), not the valid count. ``row_weight``
+    (optional per-sample [B] 0/1): 0-weight rows (SPMD padding of a
+    ragged final global batch) are excluded from every sum INCLUDING the
+    total-element denominator, so the result equals the loss over the
+    real rows alone.
     """
     x = logits.astype(jnp.float32)
     y = (label.astype(jnp.float32) >= 0.5).astype(jnp.float32)
+    if row_weight is None:
+        wrow = None
+        num_total = jnp.asarray(y.size, jnp.float32)
+    else:
+        wrow = row_weight.astype(jnp.float32).reshape(
+            (y.shape[0],) + (1,) * (y.ndim - 1))
+        num_total = jnp.maximum(
+            row_weight.astype(jnp.float32).sum()
+            * (y.size // y.shape[0]), 1.0)
+        y = y * wrow  # 0-weight rows count as neither pos nor neg below
     if pos_weight is None:
         num_pos = y.sum()
-        num_total = jnp.asarray(y.size, jnp.float32)
         w = (num_total - num_pos) / num_total
     else:
         w = pos_weight
     x_gt0 = (x >= 0).astype(jnp.float32)
     # log-sigmoid trick from the reference (mtl_loss_schemes.py:66-68)
     loss_val = x * (y - x_gt0) - jnp.log1p(jnp.exp(x - 2.0 * x * x_gt0))
+    if wrow is not None:
+        loss_val = loss_val * wrow
     loss_pos = -(y * loss_val).sum()
     loss_neg = -((1.0 - y) * loss_val).sum()
     final = w * loss_pos + (1.0 - w) * loss_neg
-    return final / y.size
+    return final / num_total
 
 
 def normals_loss(pred: jnp.ndarray, label: jnp.ndarray,
@@ -124,6 +141,7 @@ def multi_task_loss(preds: Dict[str, jnp.ndarray],
                     targets: Dict[str, jnp.ndarray],
                     tasks,
                     loss_weights: Optional[Dict[str, float]] = None,
+                    row_weight: Optional[jnp.ndarray] = None,
                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Weighted sum of per-task losses (MultiTaskLoss:223-238).
 
@@ -132,9 +150,23 @@ def multi_task_loss(preds: Dict[str, jnp.ndarray],
     saves those fp32 casts as backward residuals (539 MB for semseg at
     448/batch 32). Recomputing the elementwise loss forward in the
     backward pass saves ~1 GB of fp32 residual traffic per step.
+
+    ``row_weight`` (per-sample [B] 0/1, eval padding): the mask-based
+    losses are exact with ignore-filled padded targets already; the
+    balanced-BCE losses (sal/edge) divide by the TOTAL element count, so
+    they additionally take the weight to shrink their denominators.
     """
     weights = loss_weights or LOSS_WEIGHTS
-    per_task = {t: jax.checkpoint(get_task_loss(t))(preds[t], targets[t])
-                for t in tasks}
+
+    def one(t):
+        if row_weight is not None and t in ("sal", "edge"):
+            pw = 0.95 if t == "edge" else None
+            fn = jax.checkpoint(
+                lambda p, l, w, pw=pw: balanced_bce_logits(
+                    p, l, pos_weight=pw, row_weight=w))
+            return fn(preds[t], targets[t], row_weight)
+        return jax.checkpoint(get_task_loss(t))(preds[t], targets[t])
+
+    per_task = {t: one(t) for t in tasks}
     total = sum(weights[t] * per_task[t] for t in tasks)
     return total, per_task

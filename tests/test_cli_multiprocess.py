@@ -140,6 +140,25 @@ def test_cli_eval_two_process_matches_single(tmp_path):
         np.testing.assert_allclose(f0[k], ref[k], rtol=1e-4, err_msg=k)
 
 
+def test_cli_eval_two_process_ragged_val_matches_single(tmp_path):
+    """Sample-exact multi-host eval: val length 13 does NOT divide the
+    global batch 8 — the final global batch is padded (loader pad_last)
+    and the pad rows contribute exactly nothing, so 2-process scores
+    must equal the single-process run on every metric (the reference
+    evaluates every sample, main.py:462-476)."""
+    os.environ["MTLORA_SYNTH_VAL_LEN"] = "13"
+    try:
+        ref = _flat(_run_single(str(tmp_path / "single"), ["--eval"]))
+        s0, s1 = _run_pair_retry(str(tmp_path / "pair"), ["--eval"])
+    finally:
+        del os.environ["MTLORA_SYNTH_VAL_LEN"]
+    f0, f1 = _flat(s0), _flat(s1)
+    assert set(f0) == set(ref) and set(f1) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(f0[k], f1[k], rtol=1e-9, err_msg=k)
+        np.testing.assert_allclose(f0[k], ref[k], rtol=1e-4, err_msg=k)
+
+
 def test_cli_train_two_process_replica_consistency(tmp_path):
     s0, s1 = _run_pair_retry(
         str(tmp_path / "train"),
@@ -149,3 +168,37 @@ def test_cli_train_two_process_replica_consistency(tmp_path):
     assert f0, "no scores produced"
     for k in f0:
         np.testing.assert_allclose(f0[k], f1[k], rtol=1e-7, err_msg=k)
+
+
+def test_cli_train_two_process_resume_matches_uninterrupted(tmp_path):
+    """Multi-host checkpoint/resume (ref AUTO_RESUME, utils.py:310-321):
+    a 2-process run killed after epoch 0 (--epochs 1 saves at SAVE_FREQ)
+    and auto-resumed to --epochs 2 must end with scores identical to an
+    uninterrupted 2-process --epochs 2 run. Every process calls into
+    orbax (its save path runs cross-process barriers) — this drives
+    that path end-to-end for the first time.
+
+    LR scheduler pinned to ``step``: the default cosine schedule is a
+    function of TOTAL epochs, so the interrupted run (--epochs 1)
+    would train its epoch 0 under a different LR curve than the
+    uninterrupted --epochs 2 run — a property of the reference's
+    scheduler design, not a checkpoint defect."""
+    resume_args = TRAIN_ARGS + [
+        "TRAIN.AUTO_RESUME", "True",
+        "TRAIN.LR_SCHEDULER.NAME", "step",
+        "TRAIN.LR_SCHEDULER.DECAY_EPOCHS", "100"]
+    full0, full1 = _run_pair_retry(
+        str(tmp_path / "full"),
+        ["--epochs", "2", "--skip_initial_validation"],
+        base=resume_args)
+    part = str(tmp_path / "resumed")
+    _run_pair_retry(part, ["--epochs", "1", "--skip_initial_validation"],
+                    base=resume_args)
+    res0, res1 = _run_pair_retry(
+        part, ["--epochs", "2", "--skip_initial_validation"],
+        base=resume_args)
+    ff, f0, f1 = _flat(full0), _flat(res0), _flat(res1)
+    assert ff and set(f0) == set(ff) == set(f1)
+    for k in ff:
+        np.testing.assert_allclose(f0[k], f1[k], rtol=1e-9, err_msg=k)
+        np.testing.assert_allclose(f0[k], ff[k], rtol=1e-6, err_msg=k)

@@ -172,3 +172,66 @@ def test_meter_states_reduce_across_shards():
     summed = jax.tree.map(lambda a, b: a + b, s1, s2)
     np.testing.assert_allclose(mine.compute(whole)["mIoU"],
                                mine.compute(summed)["mIoU"], rtol=1e-12)
+
+
+def test_meter_row_weight_padding_is_exact():
+    """A 0-weight padded row (255-filled targets + _valid mask, the
+    pad_last loader contract) must contribute EXACTLY nothing to every
+    meter — including the no-mask saliency per-image jaccard and the
+    edge meter's pixel-count denominator."""
+    import jax.numpy as jnp
+
+    tasks = ["semseg", "normals", "sal", "human_parts", "edge", "depth"]
+    rs = np.random.RandomState(0)
+    B, H, W = 5, 16, 16
+    preds = {
+        "semseg": jnp.asarray(rs.randn(B, H, W, 21), jnp.float32),
+        "human_parts": jnp.asarray(rs.randn(B, H, W, 7), jnp.float32),
+        "normals": jnp.asarray(rs.randn(B, H, W, 3), jnp.float32),
+        "sal": jnp.asarray(rs.randn(B, H, W, 1), jnp.float32),
+        "edge": jnp.asarray(rs.randn(B, H, W, 1), jnp.float32),
+        "depth": jnp.asarray(rs.randn(B, H, W, 1) * 2 + 3, jnp.float32),
+    }
+    targets = {
+        "semseg": jnp.asarray(rs.randint(0, 21, (B, H, W)), jnp.int32),
+        "human_parts": jnp.asarray(rs.randint(0, 7, (B, H, W)),
+                                   jnp.int32),
+        "normals": jnp.asarray(rs.randn(B, H, W, 3), jnp.float32),
+        "sal": jnp.asarray(rs.randint(0, 2, (B, H, W)), jnp.float32),
+        "edge": jnp.asarray(rs.randint(0, 2, (B, H, W)), jnp.float32),
+        "depth": jnp.asarray(rs.rand(B, H, W) * 5, jnp.float32),
+    }
+    exact = M.PerformanceMeter(tasks)
+    exact.states = exact.update_jit(
+        exact.states, {t: v[:3] for t, v in preds.items()},
+        {t: v[:3] for t, v in targets.items()})
+    s_exact = exact.get_score(verbose=False)
+
+    tgt_pad = {t: jnp.concatenate([v[:3], jnp.full_like(v[3:], 255)])
+               for t, v in targets.items()}
+    w = jnp.asarray([1, 1, 1, 0, 0], jnp.float32)
+    padded = M.PerformanceMeter(tasks)
+    padded.states = padded.update_jit(padded.states, preds, tgt_pad, w)
+    s_pad = padded.get_score(verbose=False)
+    for t in tasks:
+        for k, a in s_exact[t].items():
+            np.testing.assert_allclose(a, s_pad[t][k], rtol=1e-6,
+                                       err_msg=f"{t}/{k}")
+
+
+def test_balanced_bce_row_weight_matches_subset():
+    """balanced_bce_logits(row_weight): 0-weight rows excluded from
+    every sum INCLUDING the size_average denominator."""
+    import jax.numpy as jnp
+
+    from mtlora_tpu.train.losses import balanced_bce_logits
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(4, 8, 8), jnp.float32)
+    y = jnp.asarray(rs.randint(0, 2, (4, 8, 8)), jnp.float32)
+    w = jnp.asarray([1, 1, 0, 0], jnp.float32)
+    for pw in (None, 0.95):
+        a = balanced_bce_logits(x[:2], y[:2], pos_weight=pw)
+        b = balanced_bce_logits(x, y, pos_weight=pw, row_weight=w)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6)

@@ -129,3 +129,43 @@ def test_param_structure_has_expected_paths(small_model_and_vars):
     t_lora = flat[("backbone", "layers_0", "blocks_1", "attn", "proj",
                    "lora_tasks_A")]
     assert t_lora.shape[0] == 4  # stacked over 4 tasks
+
+
+def test_batched_heads_matches_module_path(small_model_and_vars,
+                                           monkeypatch):
+    """MTLORA_BATCHED_HEADS=1 (task-batched HRNet head einsums; default
+    OFF, measured slower at flagship scale) must reproduce the module
+    path exactly: same param tree, same logits, same batch_stats."""
+    model, variables = small_model_and_vars
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3))
+
+    monkeypatch.setenv("MTLORA_BATCHED_HEADS", "0")
+    ref = model.apply(variables, x)
+    monkeypatch.setenv("MTLORA_BATCHED_HEADS", "1")
+    out = model.apply(variables, x)
+    for t in TASKS4:
+        np.testing.assert_allclose(np.asarray(out[t]), np.asarray(ref[t]),
+                                   atol=1e-4, rtol=1e-4)
+
+    # train mode: running BN stats update identically
+    rngs = {"dropout": jax.random.PRNGKey(1),
+            "droppath": jax.random.PRNGKey(2)}
+
+    def train_apply():
+        return model.apply(variables, x, deterministic=False, rngs=rngs,
+                           mutable=["batch_stats"])
+
+    out_b, upd_b = train_apply()
+    monkeypatch.setenv("MTLORA_BATCHED_HEADS", "0")
+    out_r, upd_r = train_apply()
+    for t in TASKS4:
+        np.testing.assert_allclose(np.asarray(out_b[t]),
+                                   np.asarray(out_r[t]),
+                                   atol=1e-4, rtol=1e-4)
+    import flax
+    fb = flax.traverse_util.flatten_dict(upd_b["batch_stats"])
+    fr = flax.traverse_util.flatten_dict(upd_r["batch_stats"])
+    assert set(fb) == set(fr)
+    for k in fb:
+        np.testing.assert_allclose(np.asarray(fb[k]), np.asarray(fr[k]),
+                                   atol=1e-4, rtol=1e-4)

@@ -95,6 +95,50 @@ def test_fused_uneven_heads_channels():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("shift", [0, 3])
+@pytest.mark.parametrize("geom", [
+    (2, 28, 28, 24, 3),   # nw2 % 4 == 0: per-image mask periods
+    (2, 14, 14, 16, 4),   # 4 % nw2 == 0: mask tiles across images
+    (8, 14, 14, 16, 2),   # no-mask cells span images
+])
+def test_dense_mode_matches_reference(shift, geom, monkeypatch):
+    """With MTLORA_ATTN_DENSE=1, bf16 ws=7 routes through the dense
+    392-row cells (4 window-pairs reshaped FREELY from the flat layout;
+    `_fused_windows_dense`) — cover both mask tilings, fwd + dqkv +
+    dbias. Default is OFF (measured ~1 img/s slower end-to-end); the
+    path stays equality-gated for future layout work."""
+    monkeypatch.setenv("MTLORA_ATTN_DENSE", "1")
+    B, H, W, C, heads = geom
+    qkv, bias, _ = make_case(11, B=B, H=H, W=W, C=C, heads=heads, ws=7,
+                             shift=shift, dtype=jnp.bfloat16)
+    mask = (jnp.asarray(shift_attention_mask(H, W, 7, shift))
+            if shift else None)
+    ref = reference_path(qkv, heads, bias, 7, shift, mask)
+    out = fused_window_attention(qkv, heads, bias, 7, shift, mask,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)
+
+    def loss_fused(qkv, bias):
+        o = fused_window_attention(qkv, heads, bias, 7, shift, mask,
+                                   interpret=True)
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+    def loss_ref(qkv, bias):
+        o = reference_path(qkv, heads, bias, 7, shift, mask)
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(
+        np.asarray(g_fused[0], np.float32),
+        np.asarray(g_ref[0], np.float32), atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(
+        np.asarray(g_fused[1], np.float32),
+        np.asarray(g_ref[1], np.float32), atol=2e-2, rtol=2e-2)
+
+
 def test_merge2x2_cat_matches_strided_slices():
     """PatchMerging's transpose-based 2x2 gather must reproduce the
     reference x0/x1/x2/x3 strided-slice+concat order
