@@ -76,6 +76,62 @@ def _gelu(z):
     return z * _cdf(z)
 
 
+# bf16 fast path: the tanh-approximation gelu in sigmoid form,
+#   gelu(z) ~= z * sigmoid(A z + B z^3),  A = 2c, B = 2cd
+# (c = sqrt(2/pi), d = 0.044715). Max |err| vs exact-erf gelu is
+# 4.7e-4 — an order of magnitude below bf16 round-off of O(1)
+# activations — at roughly half the VPU ops of the A&S erf polynomial.
+# Measured on the stage-0 adapter-tail shape (tools/adapter_variants.py):
+# the erf path dominates that kernel; the sigmoid form runs at the
+# kernel's MXU-structure floor. fp32 kernels keep the exact erf form so
+# fp32 parity suites are unaffected.
+_GELU_A = 1.5957691216057308
+_GELU_B = 0.07135481627573646
+
+
+def _sig(w):
+    """sigmoid via exp + approximate reciprocal (+1 Newton step).
+
+    The clamp is load-bearing: without it exp(-w) overflows to inf for
+    large-magnitude activations (|z| ~ 12 suffices) and the Newton
+    refinement computes inf * 0 = NaN. sigmoid(+-30) is 1/0 to fp32
+    round-off. (Caught by the on-TPU fast equality gate at ln_mlp
+    stage-1 shapes.)"""
+    w = jnp.clip(w, -30.0, 30.0)
+    e = jnp.exp(-w)
+    d = 1.0 + e
+    try:
+        t = pl.reciprocal(d, approx=True)
+        t = t * (2.0 - d * t)
+    except Exception:  # pragma: no cover - non-pallas trace context
+        t = 1.0 / d
+    return t
+
+
+def _gelu_fwd(z, cheap: bool):
+    if not cheap:
+        return _gelu(z)
+    # zc: beyond |z|=20, gelu is z/0 and dgelu 1/0 to fp32 round-off —
+    # the clamp keeps the polynomial factors of the DERIVATIVE from
+    # amplifying the sigmoid tail (s(1-s)*O(z^3) garbage at |z|>1e3)
+    # and keeps fwd/pair bit-identical
+    zc = jnp.clip(z, -20.0, 20.0)
+    z2 = zc * zc
+    return z * _sig(zc * (_GELU_A + _GELU_B * z2))
+
+
+def _gelu_pair(z, cheap: bool):
+    """(gelu(z), gelu'(z)) sharing one transcendental evaluation."""
+    if not cheap:
+        cdf = _cdf(z)
+        return z * cdf, cdf + z * (jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI)
+    zc = jnp.clip(z, -20.0, 20.0)
+    z2 = zc * zc
+    s = _sig(zc * (_GELU_A + _GELU_B * z2))
+    return (z * s,
+            s + zc * s * (1.0 - s) * (_GELU_A + 3.0 * _GELU_B * z2))
+
+
 def _prec(dtype):
     # fp32 operands: force multi-pass fp32 MXU (Mosaic defaults to one
     # bf16 pass); bf16 inputs keep the fast path
@@ -97,7 +153,7 @@ def _fwd_kernel(mid1_ref, p1_ref, b1_ref, a2_ref, out_ref, *, scales):
         u = jax.lax.dot_general(mid1_ref[t], b1_ref[t], _DN_00,
                                 preferred_element_type=jnp.float32,
             precision=_prec(cdt))
-        h = _gelu(p1 + scales[t] * u)
+        h = _gelu_fwd(p1 + scales[t] * u, cdt == jnp.bfloat16)
         # mid2_t [r2, Mb] = A2T_t @ h^T  (contract H4)
         out_ref[t] = jax.lax.dot_general(
             a2_ref[t], h.astype(cdt), _DN_11,
@@ -123,14 +179,14 @@ def _bwd_kernel(mid1_ref, p1_ref, b1_ref, a2_ref, g_ref,
                                 preferred_element_type=jnp.float32,
             precision=_prec(cdt))
         z = p1 + scales[t] * u
-        cdf = _cdf(z)  # shared between h and dgelu (one erf per element)
-        h = (z * cdf).astype(cdt)
+        # h and dgelu share one transcendental evaluation
+        h32, dgelu = _gelu_pair(z, cdt == jnp.bfloat16)
+        h = h32.astype(cdt)
         g = g_ref[t]  # [r2, Mb]
         # dh [Mb, H4] = g^T @ A2T_t  (contract r2)
         dh = jax.lax.dot_general(g, a2_ref[t], _DN_00,
                                  preferred_element_type=jnp.float32,
             precision=_prec(cdt))
-        dgelu = cdf + z * (jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI)
         dz = (dh * dgelu).astype(cdt)
         dp1 = dp1 + dz
         # dmid1_t [r1, Mb] = s * B1_t @ dz^T  (contract H4)

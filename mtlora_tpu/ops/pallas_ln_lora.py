@@ -34,9 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mtlora_tpu.ops.pallas_adapter_mlp import (
-    _INV_SQRT_2PI,
-    _cdf,
-    _gelu,
+    _gelu_fwd,
+    _gelu_pair,
 )
 
 _EPS = 1e-5
@@ -108,7 +107,7 @@ def _fwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
         # gelu fused into the output write: XLA cannot fuse elementwise
         # consumers into a pallas_call's output, so leaving gelu outside
         # costs a full extra read+write pass over [M, O]
-        y = _gelu(y)
+        y = _gelu_fwd(y, cdt == jnp.bfloat16)
     y_ref[...] = y.astype(y_ref.dtype)
     if out_p:
         p_ref[...] = p.astype(p_ref.dtype)
@@ -174,8 +173,7 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w_ref, bias_ref, a_ref,
             z_pre = z_pre + scale * jax.lax.dot_general(
                 m, brh_ref[...], _DN_STD,
                 preferred_element_type=jnp.float32, precision=_prec(cdt))
-        dgelu = _cdf(z_pre) + z_pre * (
-            jnp.exp(-0.5 * z_pre * z_pre) * _INV_SQRT_2PI)
+        _, dgelu = _gelu_pair(z_pre, cdt == jnp.bfloat16)
         gy = gy * dgelu
     # pretrained-path cotangent: dp_total = gy (+ gp if p was an output)
     gp_total = gy

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mtlora_tpu.ops.pallas_adapter_mlp import _INV_SQRT_2PI, _cdf, _gelu
+from mtlora_tpu.ops.pallas_adapter_mlp import _gelu_fwd, _gelu_pair
 from mtlora_tpu.ops.pallas_ln_lora import (
     _VMEM_LIMIT,
     _DN_STD,
@@ -77,7 +77,7 @@ def _fwd_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, a1_ref,
                                  preferred_element_type=jnp.float32,
                                  precision=_prec(cdt))
         h = h + s1 * u1
-    gl = _gelu(h)
+    gl = _gelu_fwd(h, cdt == jnp.bfloat16)
     gc = gl.astype(cdt)
     y = jax.lax.dot_general(gc, w2_ref[...], _DN_STD,
                             preferred_element_type=jnp.float32,
@@ -140,7 +140,7 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, a1_ref,
         h = h + s1 * jax.lax.dot_general(
             m1, br1_ref[...], _DN_STD,
             preferred_element_type=jnp.float32, precision=_prec(cdt))
-    gl = _gelu(h)
+    gl, dgelu = _gelu_pair(h, cdt == jnp.bfloat16)
 
     gy = gy_ref[...].astype(jnp.float32)
     # ---- fc2 backward ----------------------------------------------
@@ -175,8 +175,8 @@ def _bwd_kernel(seed_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, a1_ref,
             dg_full = dg_full + jnp.where(keep2, dgd / (1.0 - drop), 0.0)
         else:
             dg_full = dg_full + dgd
-    # ---- gelu backward ----------------------------------------------
-    dgelu = _cdf(h) + h * (jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI)
+    # ---- gelu backward (dgelu computed with gl above, one
+    # transcendental shared) --------------------------------------
     dh = dg_full * dgelu
     # ---- fc1 backward ----------------------------------------------
     dln = jax.lax.dot_general(dh.astype(cdt), w1_ref[...], _DN_TLAST,

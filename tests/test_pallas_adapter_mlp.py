@@ -166,3 +166,28 @@ def test_mlp_fused_gate_fallback():
         y_f, t_f = fused_mlp.apply(variables, x, xt)
         np.testing.assert_allclose(np.asarray(t_f), np.asarray(t_r),
                                    atol=1e-6)
+
+
+def test_cheap_gelu_matches_exact_and_is_overflow_safe():
+    """The bf16 kernels' tanh/sigmoid-form gelu: max |err| vs the exact
+    erf form must stay an order below bf16 round-off, INCLUDING at
+    large-magnitude activations where the unclamped sigmoid overflowed
+    to NaN (inf * 0 in the reciprocal Newton step; round-4 regression,
+    caught by the on-TPU fast equality gate)."""
+    from mtlora_tpu.ops.pallas_adapter_mlp import _gelu_fwd, _gelu_pair
+
+    z = jnp.asarray(
+        np.concatenate([np.linspace(-6, 6, 4001),
+                        [-1e4, -50.0, -12.0, 12.0, 50.0, 1e4]]),
+        jnp.float32)
+    ref = jax.nn.gelu(z, approximate=False)
+    h = _gelu_fwd(z, True)
+    assert bool(jnp.isfinite(h).all())
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref), atol=6e-4)
+    h2, dg = _gelu_pair(z, True)
+    assert bool(jnp.isfinite(dg).all())
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h), atol=0)
+    dref = jax.vmap(jax.grad(
+        lambda v: jax.nn.gelu(v, approximate=False)))(z)
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(dref),
+                               atol=2e-3)
