@@ -15,6 +15,8 @@ import cv2
 import numpy as np
 from PIL import Image
 
+from mtlora_tpu.data.transforms import apply_transform
+
 
 class NYUD_MT:
     def __init__(self, root: str, split="val", transform=None,
@@ -23,6 +25,8 @@ class NYUD_MT:
                  do_normals: bool = False, do_depth: bool = False):
         self.root = root
         self.transform = transform
+        self._epoch = None
+        self._aug_seed = 0
         self.split = [split] if isinstance(split, str) else sorted(split)
         self.retname = retname
         self.do_edge = do_edge
@@ -57,6 +61,13 @@ class NYUD_MT:
     def __len__(self):
         return len(self.images)
 
+
+    def set_epoch(self, epoch: int, seed: int = 0):
+        """Pin the augmentation epoch+seed (loader.iter_epoch calls
+        this): stochastic transforms draw (seed, epoch, index)-pure
+        streams — exact resume replay, thread-safe prefetch workers."""
+        self._epoch, self._aug_seed = int(epoch), int(seed)
+
     def __getitem__(self, index: int) -> Dict:
         sample: Dict = {}
         img = np.array(Image.open(self.images[index]).convert("RGB")
@@ -85,6 +96,6 @@ class NYUD_MT:
                                   cv2.INTER_NEAREST)
         if self.retname:
             sample["meta"] = {"image": self.im_ids[index], "im_size": hw}
-        if self.transform is not None:
-            sample = self.transform(sample)
+        sample = apply_transform(self.transform, sample, self._epoch,
+                                 self._aug_seed, index)
         return sample

@@ -29,6 +29,7 @@ import numpy as np
 from PIL import Image
 
 from mtlora_tpu.data.thin import thin
+from mtlora_tpu.data.transforms import apply_transform
 
 # Merge table for 6 human parts (+bg); reference HUMAN_PART[6]
 # (mtl_ds.py:252-270). part-name -> merged label id.
@@ -77,6 +78,8 @@ class PASCALContext:
                  do_normals: bool = False, do_sal: bool = False):
         self.root = root
         self.transform = transform
+        self._epoch = None
+        self._aug_seed = 0
         self.split = [split] if isinstance(split, str) else sorted(split)
         self.area_thres = area_thres
         self.retname = retname
@@ -174,6 +177,13 @@ class PASCALContext:
     def __len__(self):
         return len(self.images)
 
+
+    def set_epoch(self, epoch: int, seed: int = 0):
+        """Pin the augmentation epoch+seed (loader.iter_epoch calls
+        this): stochastic transforms draw (seed, epoch, index)-pure
+        streams — exact resume replay, thread-safe prefetch workers."""
+        self._epoch, self._aug_seed = int(epoch), int(seed)
+
     def __getitem__(self, index: int) -> Dict:
         sample: Dict = {}
         img = np.array(Image.open(self.images[index]).convert("RGB")
@@ -203,8 +213,8 @@ class PASCALContext:
                                 cv2.INTER_NEAREST)
         if self.retname:
             sample["meta"] = {"image": self.im_ids[index], "im_size": hw}
-        if self.transform is not None:
-            sample = self.transform(sample)
+        sample = apply_transform(self.transform, sample, self._epoch,
+                                 self._aug_seed, index)
         return sample
 
     def _load_edge(self, index):

@@ -12,6 +12,7 @@ from typing import Dict, Sequence
 import numpy as np
 
 from mtlora_tpu.data.task_config import get_tasks_config
+from mtlora_tpu.data.transforms import apply_transform
 
 
 class SyntheticMTL:
@@ -31,6 +32,8 @@ class SyntheticMTL:
         self.length = length
         self.seed = seed
         self.transform = transform
+        self._epoch = None
+        self._aug_seed = 0
         self.structured = structured
         cfg, _ = get_tasks_config(db_name, self.tasks, img_size)
         self.num_output = cfg["NUM_OUTPUT"]
@@ -69,6 +72,13 @@ class SyntheticMTL:
                 sample[t] = d
         return sample
 
+
+    def set_epoch(self, epoch: int, seed: int = 0):
+        """Pin the augmentation epoch+seed (loader.iter_epoch calls
+        this): stochastic transforms draw (seed, epoch, index)-pure
+        streams — exact resume replay, thread-safe prefetch workers."""
+        self._epoch, self._aug_seed = int(epoch), int(seed)
+
     def __getitem__(self, index: int) -> Dict:
         r = np.random.RandomState(self.seed * 100003 + index)
         s = self.img_size
@@ -76,8 +86,8 @@ class SyntheticMTL:
             sample = self._structured_sample(r, s)
             sample["meta"] = {"image": f"synthetic_{index}",
                               "im_size": (s, s)}
-            if self.transform is not None:
-                sample = self.transform(sample)
+            sample = apply_transform(self.transform, sample,
+                                     self._epoch, self._aug_seed, index)
             return sample
         sample: Dict = {
             "image": r.randint(0, 256, (s, s, 3)).astype(float)}
@@ -98,8 +108,8 @@ class SyntheticMTL:
                 sample[t] = d
         sample["meta"] = {"image": f"synthetic_{index}",
                           "im_size": (s, s)}
-        if self.transform is not None:
-            sample = self.transform(sample)
+        sample = apply_transform(self.transform, sample, self._epoch,
+                                 self._aug_seed, index)
         return sample
 
 

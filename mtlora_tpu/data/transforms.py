@@ -90,11 +90,14 @@ def fixed_resize(sample: np.ndarray, resolution, flagval=None) -> np.ndarray:
 
 
 class RandomHorizontalFlip:
+    stochastic = True
+
     def __init__(self, rng: Optional[np.random.RandomState] = None):
         self.rng = rng or np.random
 
-    def __call__(self, sample: Dict) -> Dict:
-        if self.rng.random_sample() < 0.5:
+    def __call__(self, sample: Dict, rng=None) -> Dict:
+        r = rng if rng is not None else self.rng
+        if r.random_sample() < 0.5:
             for k in list(sample.keys()):
                 if "meta" in k:
                     continue
@@ -105,6 +108,8 @@ class RandomHorizontalFlip:
 
 
 class ScaleNRotate:
+    stochastic = True
+
     def __init__(self, rots=(-20, 20), scales=(0.75, 1.25), flagvals=None,
                  rng: Optional[np.random.RandomState] = None):
         assert isinstance(rots, type(scales))
@@ -113,17 +118,18 @@ class ScaleNRotate:
         self.flagvals = flagvals
         self.rng = rng or np.random
 
-    def __call__(self, sample: Dict) -> Dict:
+    def __call__(self, sample: Dict, rng=None) -> Dict:
+        r = rng if rng is not None else self.rng
         if isinstance(self.rots, tuple):
             # continuous range centered at 0 rotation / 1.0 scale
-            rot = ((self.rots[1] - self.rots[0]) * self.rng.random_sample()
+            rot = ((self.rots[1] - self.rots[0]) * r.random_sample()
                    - (self.rots[1] - self.rots[0]) / 2)
             sc = ((self.scales[1] - self.scales[0])
-                  * self.rng.random_sample()
+                  * r.random_sample()
                   - (self.scales[1] - self.scales[0]) / 2 + 1)
         else:  # fixed lists
-            rot = self.rots[self.rng.randint(0, len(self.rots))]
-            sc = self.scales[self.rng.randint(0, len(self.scales))]
+            rot = self.rots[r.randint(0, len(self.rots))]
+            sc = self.scales[r.randint(0, len(self.scales))]
 
         for k in list(sample.keys()):
             if "meta" in k:
@@ -221,13 +227,44 @@ class ToArrays:
 
 
 class Compose:
+    """``rng``: optional per-sample RandomState threaded into the
+    stochastic transforms (``stochastic = True``) only. Datasets derive
+    it from (seed, epoch, index) — see ``sample_rng`` — so augmentation
+    is a PURE function of those three: exact resume replay, identical
+    global batches under any process layout, and thread-safe prefetch
+    workers (the legacy global-``np.random`` path remains when no rng
+    is passed; the reference's torch loader is stateful the same way)."""
+
+    accepts_rng = True
+
     def __init__(self, transforms: Sequence):
         self.transforms = list(transforms)
 
-    def __call__(self, sample):
+    def __call__(self, sample, rng=None):
         for t in self.transforms:
-            sample = t(sample)
+            if rng is not None and getattr(t, "stochastic", False):
+                sample = t(sample, rng=rng)
+            else:
+                sample = t(sample)
         return sample
+
+
+def sample_rng(seed: int, epoch: int, index: int) -> np.random.RandomState:
+    """(seed, epoch, index)-pure augmentation stream."""
+    return np.random.RandomState(
+        np.array([seed & 0xFFFFFFFF, epoch, index], np.uint32))
+
+
+def apply_transform(transform, sample, epoch, seed, index):
+    """Dataset-side transform application: when the dataset was given an
+    epoch (loader.iter_epoch -> dataset.set_epoch) and the transform
+    accepts an rng (Compose), augmentation draws from the
+    (seed, epoch, index)-pure stream; otherwise legacy stateful path."""
+    if transform is None:
+        return sample
+    if epoch is not None and getattr(transform, "accepts_rng", False):
+        return transform(sample, rng=sample_rng(seed, epoch, index))
+    return transform(sample)
 
 
 def get_transformations(db_name: str, tasks_config: Dict,
