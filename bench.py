@@ -92,16 +92,27 @@ def main():
             state, metrics = step(state, batch)
         float(jax.device_get(metrics["loss"]))
         dt = time.perf_counter() - t0
-        return timed * B / dt
+        # achieved bandwidth / MFU from XLA cost analysis so regressions
+        # are diagnosable from the driver artifact alone
+        extras = {"step_ms": round(dt / timed * 1000, 2)}
+        try:
+            from mtlora_tpu.utils.profiling import summarize
+            s = summarize(step, state, batch, seconds=dt / timed)
+            extras["hbm_gbps"] = round(s.get("achieved_bw_gbps", 0.0), 1)
+            extras["mfu"] = round(s.get("mfu", 0.0), 4)
+        except Exception as e:  # cost analysis unavailable on platform
+            extras["cost_analysis_error"] = type(e).__name__
+        return timed * B / dt, extras
 
     imgs_per_sec = None
     err = None
     winning = None
+    extras = {}
     fallbacks = []
     for bpc, pallas in ((32, True), (16, True), (8, True), (4, True),
                         (32, False), (16, False), (8, False)):
         try:
-            imgs_per_sec = run(bpc, pallas)
+            imgs_per_sec, extras = run(bpc, pallas)
             winning = {"batch_per_chip": bpc, "use_pallas": pallas}
             break
         except Exception as e:  # OOM / kernel-compat backoff
@@ -125,6 +136,7 @@ def main():
         "vs_baseline": round(per_chip / A100_BASELINE_IMGS_PER_SEC, 3),
         "config": winning,
         "fallbacks": fallbacks,
+        **extras,
     }))
 
 

@@ -263,7 +263,22 @@ def main(args, config):
     log_fn = _wandb_log_fn(args, config, logger)
 
     if config.THROUGHPUT_MODE:
-        throughput(config, state, eval_step, loader_val, mesh, logger)
+        # measure BOTH forward paths in one run (the reference has one
+        # path, main.py:531-549; we have the fp32 reference-parity eval
+        # clone AND the bf16/Pallas production path — report both so the
+        # default doesn't undersell the build)
+        batch = next(iter(loader_val.iter_epoch(0)))
+        throughput(config, state, eval_step, mesh=mesh, logger=logger,
+                   batch=batch,
+                   label=None if eval_model is model else
+                   "fp32, Pallas kernels disabled (reference eval-parity "
+                   "path)")
+        if eval_model is not model:
+            fast_step = jit_eval_step(make_eval_step(model), mesh)
+            throughput(config, state, fast_step, mesh=mesh, logger=logger,
+                       batch=batch,
+                       label="bf16 + Pallas kernels (production eval "
+                             "path)")
         return
     if config.EVAL_MODE:
         if getattr(args, "merged", False):
@@ -463,9 +478,14 @@ def main_classification(args, config):
 
     use_mixup = config.AUG.MIXUP > 0
     num_classes = int(config.MODEL.NUM_CLASSES)
-    rng = np.random.RandomState(config.SEED + info["rank"])
     epoch = start_epoch
     for epoch in range(start_epoch, config.TRAIN.EPOCHS):
+        # per-epoch (seed, epoch)-keyed host RNG, mirroring the loader's
+        # permutation keying: resume-at-epoch-N replays the exact mixup
+        # stream of the uninterrupted run (a run-scoped RNG would restart
+        # from the seed at resume and diverge)
+        rng = np.random.RandomState(
+            np.array([config.SEED + info["rank"], epoch], np.uint32))
         lm = AverageMeter()
         for batch in loader_train.iter_epoch(epoch):
             imgs, labels = batch["image"], batch["label"]
@@ -479,18 +499,20 @@ def main_classification(args, config):
             dev = _device_batch({"image": imgs, "label": labels}, mesh)
             state, m = step(state, dev)
             lm.update(float(m["loss"]))
-        if (epoch % config.SAVE_FREQ == 0
-                or epoch == config.TRAIN.EPOCHS - 1):
-            # EVERY process calls into orbax (cross-process barriers
-            # inside; see the MTL driver note above)
-            save_checkpoint(config.OUTPUT, epoch, state, max_accuracy,
-                            config_dump=config.dump())
         if epoch % config.EVAL_FREQ == 0:
             a1, a5 = run_validate()
             max_accuracy = max(max_accuracy, a1)
             logger.info(f"epoch {epoch}: loss {lm.avg:.4f} "
                         f"acc@1 {a1:.2f} acc@5 {a5:.2f} "
                         f"(max {max_accuracy:.2f})")
+        if (epoch % config.SAVE_FREQ == 0
+                or epoch == config.TRAIN.EPOCHS - 1):
+            # after validation, so the stored max_accuracy includes this
+            # epoch's accuracy (the reference saves post-validate,
+            # main.py:300-307); EVERY process calls into orbax (cross-
+            # process barriers inside; see the MTL driver note above)
+            save_checkpoint(config.OUTPUT, epoch, state, max_accuracy,
+                            config_dump=config.dump())
     a1, a5 = run_validate()
     max_accuracy = max(max_accuracy, a1)
     logger.info(f"final: acc@1 {a1:.2f} acc@5 {a5:.2f}")

@@ -301,6 +301,12 @@ def default_config() -> ConfigNode:
     C.FUSED_WINDOW_PROCESS = False
     C.FUSED_LAYERNORM = False
     C.SKIP_INITIAL_EVAL = False
+    # opt-in reference-schema per-batch val-loss wandb series
+    # (ref main.py:485-495: val/batch_ndx, val/val_loss, val/val_loss_avg,
+    # val/tasks/{t}/loss). Default off: the one-sync-per-epoch validate
+    # is the TPU-friendly design (docs/PARITY.md); this flag syncs the
+    # loss scalars every batch.
+    C.WANDB_STEP_VAL = False
 
     # TPU-specific knobs (new surface; defaults keep reference behavior)
     C.TPU = ConfigNode(new_allowed=True)

@@ -154,12 +154,47 @@ class DataLoader:
         lock = threading.Lock()
         n_workers = self.num_workers
         done = object()
+        # in-order yield bound: a worker never STARTS a batch more than
+        # prefetch + n_workers positions ahead of the consumer, so the
+        # `pending` reorder buffer (and host memory) stays bounded even
+        # when one batch is slow
+        cond = threading.Condition()
+        progress = {"next": 0}
+        max_ahead = self.prefetch + n_workers
 
-        pad_sample = None
-        if self.pad_last:
-            pad_sample = self.dataset[0]
+        def make_pad(template: Dict) -> Dict:
+            """Pad row built from an already-fetched sample: zero image
+            (its content is masked by the "_valid" row weight anyway)
+            plus ignore-filled targets — no extra dataset/transform
+            invocation (and no augmentation-RNG draw) just for padding."""
+            pad = {}
+            for k, v in template.items():
+                if "meta" in k:
+                    pad[k] = v
+                elif k == "image":
+                    pad[k] = np.zeros_like(v)
+                else:
+                    pad[k] = np.array(v, copy=True)
             if self.pad_fill is not None:
-                pad_sample = self.pad_fill(dict(pad_sample))
+                pad = self.pad_fill(pad)
+            return pad
+
+        def fetch(b) -> Dict:
+            samples: List = [self.dataset[int(i)] if i >= 0 else None
+                             for i in b]
+            if any(s is None for s in samples):
+                template = next((s for s in samples if s is not None),
+                                None)
+                if template is None:  # all-pad batch (tiny datasets)
+                    template = self.dataset[0]
+                pad = make_pad(template)
+                samples = [pad if s is None else s for s in samples]
+            batch = collate(samples)
+            if self.pad_last:
+                batch["_valid"] = (np.asarray(b) >= 0).astype(np.float32)
+            if self.process_fn is not None:
+                batch = self.process_fn(batch)
+            return batch
 
         def worker():
             while True:
@@ -169,14 +204,13 @@ class DataLoader:
                     q.put(done)
                     return
                 pos, b = pos_b
-                batch = collate([self.dataset[int(i)] if i >= 0
-                                 else pad_sample for i in b])
-                if self.pad_last:
-                    batch["_valid"] = (np.asarray(b) >= 0).astype(
-                        np.float32)
-                if self.process_fn is not None:
-                    batch = self.process_fn(batch)
-                q.put((pos, batch))
+                with cond:
+                    # timeout guards an abandoned generator (consumer
+                    # stopped iterating -> no more notify); daemon
+                    # threads then re-check and keep waiting harmlessly
+                    while pos - progress["next"] >= max_ahead:
+                        cond.wait(1.0)
+                q.put((pos, fetch(b)))
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(n_workers)]
@@ -199,6 +233,9 @@ class DataLoader:
             while next_pos in pending:
                 yield pending.pop(next_pos)
                 next_pos += 1
+                with cond:
+                    progress["next"] = next_pos
+                    cond.notify_all()
         while next_pos in pending:  # defensive drain (should be empty)
             yield pending.pop(next_pos)
             next_pos += 1

@@ -170,19 +170,23 @@ def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
         def update_jit(states, loss_sums, preds, targets, weight):
             wrow = weight if jnp.ndim(weight) else None
             new_states = meter.update_jit(states, preds, targets, wrow)
-            _, per_task = multi_task_loss(preds, targets, tasks,
-                                          row_weight=wrow)
+            total, per_task = multi_task_loss(preds, targets, tasks,
+                                              row_weight=wrow)
             n = weight.sum() if wrow is not None else weight
             new_sums = {t: loss_sums[t] + per_task[t] * n
                         for t in tasks}
             new_sums["_n"] = loss_sums["_n"] + n
-            return new_states, new_sums
+            return new_states, new_sums, {"total": total, **per_task}
 
+    # opt-in reference per-batch wandb series (ref main.py:485-495);
+    # costs one host sync per batch, hence default off
+    step_val = bool(config.get("WANDB_STEP_VAL", False)) and log_fn
+    step_loss_meter = AverageMeter()
     states = meter.states
     loss_sums = {t: jnp.zeros(()) for t in tasks}
     loss_sums["_n"] = jnp.zeros(())
     first = True
-    for batch in loader.iter_epoch(0):
+    for bidx, batch in enumerate(loader.iter_epoch(0)):
         bsz = batch["image"].shape[0]
         dev_batch = _device_batch(batch, mesh)
         if first and jax.process_count() > 1:
@@ -199,8 +203,16 @@ def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
                           dev_batch["image"])
         targets = {t: dev_batch[t] for t in tasks}
         weight = dev_batch.get("_valid", float(bsz))
-        states, loss_sums = update_jit(states, loss_sums, preds, targets,
-                                       weight)
+        out = update_jit(states, loss_sums, preds, targets, weight)
+        states, loss_sums = out[0], out[1]
+        if step_val and len(out) > 2:
+            batch_losses = jax.tree.map(float, jax.device_get(out[2]))
+            step_loss_meter.update(batch_losses["total"])
+            log_fn({"val/epoch_ndx": epoch, "val/batch_ndx": bidx,
+                    "val/val_loss": step_loss_meter.val,
+                    "val/val_loss_avg": step_loss_meter.avg,
+                    **{f"val/tasks/{t}/loss": batch_losses[t]
+                       for t in tasks}})
     # NOTE: no cross-host allreduce here — update_jit consumed GLOBAL
     # sharded batches (SPMD), so `states` is already the global sum,
     # replicated on every process. allreduce_meter_states remains for
@@ -222,7 +234,8 @@ def validate(config, state, eval_step, loader, epoch: int = 0, mesh=None,
 
 
 def throughput(config, state, eval_step, loader=None, mesh=None,
-               logger=None, batch=None, warmup: int = 50, timed: int = 30):
+               logger=None, batch=None, warmup: int = 50, timed: int = 30,
+               label=None):
     """Synchronized forward throughput (reference main.py:531-549 with
     the missing device syncs fixed)."""
     if batch is None:
@@ -253,10 +266,11 @@ def throughput(config, state, eval_step, loader=None, mesh=None,
         dtype = "bfloat16" if (config is not None and str(
             config.get("TPU", {}).get("EVAL_DTYPE", "float32"))
             == "bfloat16") else "float32"
-        path = ("bf16 + Pallas kernels (production eval path)"
-                if dtype == "bfloat16" else
-                "fp32, Pallas kernels disabled (reference eval-parity "
-                "path; set TPU.EVAL_DTYPE bfloat16 for the fast path)")
+        path = label or (
+            "bf16 + Pallas kernels (production eval path)"
+            if dtype == "bfloat16" else
+            "fp32, Pallas kernels disabled (reference eval-parity "
+            "path; set TPU.EVAL_DTYPE bfloat16 for the fast path)")
         logger.info(f"batch_size {B} throughput {rate:.1f} img/s "
                     f"[measured: {path}]")
     return rate

@@ -9,6 +9,8 @@ import pytest
 
 from mtlora_tpu.config import ConfigNode, default_config, load_config
 
+pytestmark = pytest.mark.quick  # always-run gate tier
+
 CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 REF_CFG_DIR = "/root/reference/configs"
 TASKS4 = ["semseg", "normals", "sal", "human_parts"]

@@ -13,6 +13,8 @@ from ref_loader import reference_available  # noqa: E402
 
 from mtlora_tpu.train import losses as L  # noqa: E402
 
+pytestmark = pytest.mark.quick  # always-run gate tier
+
 
 def _rand(shape, seed, lo=-3, hi=3):
     return np.random.RandomState(seed).uniform(lo, hi, shape).astype(

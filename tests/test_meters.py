@@ -16,8 +16,9 @@ from ref_loader import install_timm_stub, reference_available  # noqa: E402
 
 from mtlora_tpu.evaluation import meters as M  # noqa: E402
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="no reference")
+pytestmark = [pytest.mark.skipif(not reference_available(),
+                                 reason="no reference"),
+              pytest.mark.quick]  # always-run gate tier
 
 
 def _ref_eval(name):

@@ -25,6 +25,7 @@ def small_config(img_size=64):
                              "AMP_ENABLE", "False"])
 
 
+@pytest.mark.quick
 def test_mtlora_linear_shapes_and_semantics():
     spec = LoRASpec(r_shared=8, r_tasks=(4, 2), shared_scale=2.0,
                     task_scales=(1.5, 3.0))
@@ -53,6 +54,7 @@ def test_mtlora_linear_shapes_and_semantics():
     np.testing.assert_allclose(np.asarray(t2[1]), np.asarray(t3[1]), rtol=1e-6)
 
 
+@pytest.mark.quick
 def test_mtlora_linear_r0_is_plain_linear():
     layer = MTLoRALinear(8, 8, spec=LoRASpec(r_shared=0), has_tasks=False)
     x = jnp.ones((2, 8))
@@ -62,6 +64,7 @@ def test_mtlora_linear_r0_is_plain_linear():
     assert "lora_shared_A" not in params["params"]
 
 
+@pytest.mark.quick
 def test_matrixv2_includes_shared_update():
     spec = LoRASpec(r_shared=4, r_tasks=(4,), shared_scale=1.0,
                     task_scales=(1.0,), shared_mode="matrixv2")
@@ -85,6 +88,7 @@ def small_model_and_vars():
     return model, variables
 
 
+@pytest.mark.quick
 def test_full_model_forward_shapes(small_model_and_vars):
     model, variables = small_model_and_vars
     x = jnp.zeros((2, 64, 64, 3))

@@ -15,6 +15,8 @@ from mtlora_tpu.ops.pallas_adapter_mlp import (
     fused_adapter_mid,
 )
 
+pytestmark = pytest.mark.quick  # always-run gate tier (kernel interpret coverage)
+
 
 def case(seed, T=3, r1=4, r2=4, M=512, H4=256, dtype=jnp.float32):
     rs = np.random.RandomState(seed)

@@ -77,6 +77,62 @@ def make_fwd(act, dot1=True, dot2=True):
     return kern
 
 
+def make_fwd_vpu(act, vpu_dot2=False):
+    """dot1 (the K=r rank expansion) as r broadcast-FMAs on the VPU
+    instead of an MXU dot — the MXU pads K=4 to 128 so the dot wastes
+    31/32 of the array AND serializes against dot2; the VPU runs the
+    FMAs while the MXU streams dot2.  Requires mid1 in [T, Mb, r]
+    layout (tokens on sublanes) so each rank column broadcasts along
+    lanes.  With ``vpu_dot2`` the K=H4 projection also moves to the VPU
+    as r2 multiply+lane-reduce passes (out layout [T, Mb, r2])."""
+    def kern(mid1n_ref, p1_ref, b1_ref, a2_ref, out_ref, *, scales):
+        cdt = mid1n_ref.dtype
+        p1 = p1_ref[...].astype(jnp.float32)
+        for t in range(T):
+            m = mid1n_ref[t].astype(jnp.float32)  # [Mb, R]
+            z = p1
+            for r in range(R):
+                z = z + (scales[t] * m[:, r:r + 1]) * (
+                    b1_ref[t, r:r + 1, :].astype(jnp.float32))
+            h32 = act(z) if act else z
+            if vpu_dot2:
+                cols = [jnp.sum(
+                    h32 * a2_ref[t, r:r + 1, :].astype(jnp.float32),
+                    axis=1, keepdims=True) for r in range(R)]
+                out_ref[t] = jnp.concatenate(cols, axis=1).astype(
+                    out_ref.dtype)
+            else:
+                out_ref[t] = jax.lax.dot_general(
+                    h32.astype(cdt), a2_ref[t], DN_11,
+                    preferred_element_type=jnp.float32
+                ).astype(out_ref.dtype)
+    return kern
+
+
+def make_fwd_fn_vpu(kern, dtype, scales, vpu_dot2=False):
+    Mb, M2 = _plan(M, H4)
+    out_shape = ((T, M2, R) if vpu_dot2 else (T, M2, R))
+    out_spec = pl.BlockSpec((T, Mb, R), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    f = pl.pallas_call(
+        functools.partial(kern, scales=scales),
+        grid=(M2 // Mb,),
+        in_specs=[
+            pl.BlockSpec((T, Mb, R), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),      # mid1 [T, M, r]
+            pl.BlockSpec((Mb, H4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),      # p1
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # a2T
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )
+    return jax.jit(f)
+
+
 def make_bwd(act_pair):
     """act_pair(z) -> (h, dgelu)."""
     def kern(mid1_ref, p1_ref, b1_ref, a2_ref, g_ref,
@@ -165,8 +221,8 @@ def make_bwd_fn(kern, dtype, scales):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, R, M2), mid1T.dtype),
-            jax.ShapeDtypeStruct((M2, H4), p1.dtype),
+            jax.ShapeDtypeStruct((T, R, M2), dtype),
+            jax.ShapeDtypeStruct((M2, H4), dtype),
             jax.ShapeDtypeStruct((T, R, H4), jnp.float32),
             jax.ShapeDtypeStruct((T, R, H4), jnp.float32),
         ),
@@ -212,6 +268,20 @@ def main():
             try:
                 fn = make_fwd_fn(kern, dt, scales)
                 ms = timeit(fn, mid1T, p1, b1, a2T)
+                print(f"fwd {name} {ms:7.3f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"fwd {name} FAIL {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+        # VPU-FMA rank-dot variants (mid1 in [T, M, r] layout)
+        mid1N = jnp.swapaxes(mid1T, 1, 2)
+        for name, kern, v2 in [
+            ("vpu1sig ", make_fwd_vpu(_sig_gelu), False),
+            ("vpu12sig", make_fwd_vpu(_sig_gelu, vpu_dot2=True), True),
+            ("vpu1noac", make_fwd_vpu(None), False),
+        ]:
+            try:
+                fn = make_fwd_fn_vpu(kern, dt, scales, vpu_dot2=v2)
+                ms = timeit(fn, mid1N, p1, b1, a2T)
                 print(f"fwd {name} {ms:7.3f} ms", flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"fwd {name} FAIL {type(e).__name__}: "
