@@ -167,7 +167,8 @@ class PASCALContext:
             cats = []
             for obj in objs:
                 area = np.sum(obj[2])
-                cats.append(int(obj[1]) if area > self.area_thres else -1)
+                cats.append(int(obj[1][0][0]) if area > self.area_thres
+                            else -1)
             self.part_obj_dict[im_id] = cats
         os.makedirs(os.path.dirname(self.parts_file), exist_ok=True)
         with open(self.parts_file, "w") as f:
