@@ -79,14 +79,31 @@ class ConvBNRelu(nn.Module):
 
 class HighResolutionHead(nn.Module):
     """Default head: 1x1 conv expand (4x) + BN + ReLU + 1x1 predict
-    (reference seg_hrnet.py:498-526)."""
+    (reference seg_hrnet.py:498-526).
+
+    With ``use_pallas`` the whole chain runs as ONE fused VMEM kernel
+    (ops/pallas_head.py): the [M, 4C] hidden never touches HBM, and the
+    BN batch statistics come exactly from the input covariance (h is
+    linear in x, so its moments are quadratic forms in x's moments) —
+    computed differentiably outside the kernel so BN-training gradients
+    are preserved. Parameter tree paths are identical to the module
+    form (``expand/{conv,bn}``, ``pred``), so checkpoints interchange.
+    """
     num_outputs: int
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], *, train: bool = False):
         x = _upcat(xs)
         c = x.shape[-1]
+        if self.use_pallas:
+            from mtlora_tpu.ops.pallas_head import head_mlp_supported
+
+            B, H, W, _ = x.shape
+            if head_mlp_supported(B * H * W, c, self.num_outputs):
+                return self._fused(x, train=train)
         x = ConvBNRelu(c * 4, kernel=1, dtype=self.dtype, name="expand")(
             x, train=train)
         return nn.Conv(self.num_outputs, (1, 1),
@@ -94,6 +111,37 @@ class HighResolutionHead(nn.Module):
                        bias_init=functools.partial(
                            torch_default_bias_init, fan_in=x.shape[-1]),
                        dtype=self.dtype, name="pred")(x)
+
+    def _fused(self, x, *, train: bool):
+        from mtlora_tpu.ops.pallas_head import (
+            bn_stats_from_x, fused_head_mlp)
+
+        B, H, W, c = x.shape
+        c4 = c * 4
+        n = self.num_outputs
+        ek, eb, bs, bb, rm, rv = _ConvBNParams(c, c4, name="expand")()
+        pk, pb = _ConvParams(c4, n, name="pred")()
+        cdt = self.dtype or x.dtype
+        x2 = x.reshape(B * H * W, c).astype(cdt)
+        ekc = ek.reshape(c, c4).astype(cdt)
+        if train:
+            mu, var = bn_stats_from_x(x2, ekc, eb)
+            if hasattr(rm, "value"):
+                rm.value = (self.bn_momentum * rm.value
+                            + (1 - self.bn_momentum) * mu)
+                rv.value = (self.bn_momentum * rv.value
+                            + (1 - self.bn_momentum) * var)
+        else:
+            mu = jnp.asarray(rm.value, jnp.float32)
+            var = jnp.asarray(rv.value, jnp.float32)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        mul = (inv * bs)[None]
+        add = (bb - mu * inv * bs)[None]
+        interpret = jax.devices()[0].platform == "cpu"  # test path
+        y = fused_head_mlp(x2, ekc, eb[None], mul, add,
+                           pk.reshape(c4, n).astype(cdt), pb[None],
+                           interpret)
+        return y.reshape(B, H, W, n)
 
 
 class SegFormerHead(nn.Module):
@@ -338,11 +386,13 @@ def batched_hrnet_heads(params, feats, num_outputs, *, train: bool,
 
 
 def get_head(task: str, num_outputs: int, config, *, dtype=None,
-             multiscale: bool = True) -> nn.Module:
+             multiscale: bool = True,
+             use_pallas: bool = False) -> nn.Module:
     """Head factory (reference models/swin_mtl.py:15-57)."""
     head_type = config.MODEL.DECODER_HEAD.get(task, "hrnet")
     if head_type == "hrnet":
         return HighResolutionHead(num_outputs=num_outputs, dtype=dtype,
+                                  use_pallas=use_pallas,
                                   name=f"decoder_{task}")
     if head_type == "segformer":
         return SegFormerHead(num_outputs=num_outputs,

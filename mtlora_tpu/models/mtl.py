@@ -222,9 +222,14 @@ class MultiTaskSwin(nn.Module):
             task_feats = {t: feats for t in self.tasks}
 
         cfg = self._head_cfg()
+        # fused VMEM head kernel (expand->BN->ReLU->pred, BN stats via
+        # the input covariance); env kill-switch for A/B runs
+        fused_heads = (self.use_pallas and os.environ.get(
+            "MTLORA_FUSED_HEADS", "1") != "0")
         out = {}
         for i, task in enumerate(self.tasks):
-            head = get_head(task, self.num_outputs[i], cfg, dtype=self.dtype)
+            head = get_head(task, self.num_outputs[i], cfg,
+                            dtype=self.dtype, use_pallas=fused_heads)
             logits = head(task_feats[task], train=train_bn)
             out[task] = resize_bilinear(
                 logits, (self.img_size, self.img_size))

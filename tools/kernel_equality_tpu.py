@@ -410,6 +410,57 @@ def test_ln_mlp(fast=False):
         FAILURES.append("ln_mlp train grad")
 
 
+def test_head(fast=False):
+    """Fused HRNet-head kernel (ops/pallas_head.py) compiled on TPU at
+    the flagship decoder shape: expand->BN->ReLU->pred with covariance
+    batch stats, fwd + every grad vs the jnp mirror, bf16 (+fp32 full)."""
+    from mtlora_tpu.ops.pallas_head import (
+        bn_stats_from_x, fused_head_mlp, head_mlp_reference)
+
+    M, C = 100352, 270
+    O = 4 * C
+    outs = [21] if fast else [21, 7, 3, 1]
+    dts = [jnp.bfloat16] if fast else [jnp.bfloat16, jnp.float32]
+    for dt in dts:
+        for n in outs:
+            rs = np.random.RandomState(n)
+            x = jnp.asarray(rs.randn(M, C), dt)
+            ek = jnp.asarray(rs.randn(C, O) * 0.05, dt)
+            eb = jnp.asarray(rs.randn(O) * 0.1, jnp.float32)[None]
+            pk = jnp.asarray(rs.randn(O, n) * 0.05, dt)
+            pb = jnp.asarray(rs.randn(n) * 0.1, jnp.float32)[None]
+            mu, var = bn_stats_from_x(x, ek, eb[0])
+            inv = jax.lax.rsqrt(var + 1e-5)
+            mul, add = inv[None], (-mu * inv)[None]
+            args = (x, ek, eb, mul, add, pk, pb)
+            name = f"head n={n} {dt.__name__}"
+            argnums = tuple(range(7))
+
+            def lk(*a):
+                y = fused_head_mlp(*a)
+                return jnp.mean(y.astype(jnp.float32) ** 2), y
+
+            def lr(*a):
+                y = head_mlp_reference(*a)
+                return jnp.mean(y.astype(jnp.float32) ** 2), y
+
+            (_, yk), gk = jax.jit(jax.value_and_grad(
+                lk, argnums=argnums, has_aux=True))(*args)
+            (_, yr), gr = jax.jit(jax.value_and_grad(
+                lr, argnums=argnums, has_aux=True))(*args)
+            # bf16 grads: the kernel carries fp32 cotangents through the
+            # relu/affine chain where jnp autodiff rounds dz to bf16
+            # between the two dots — the kernel side is the MORE exact
+            # one; dx compounds both dots (fp32 suite pins exactness)
+            tol = 2e-2 if dt == jnp.bfloat16 else 2e-4
+            gtol = 1.5e-1 if dt == jnp.bfloat16 else 5e-4
+            check(name + " fwd", yk, yr, tol)
+            for nm, kv, rv in zip(
+                    ("dx", "dek", "deb", "dmul", "dadd", "dpk", "dpb"),
+                    gk, gr):
+                check(f"{name} {nm}", kv, rv, gtol)
+
+
 def test_ln_lora_dropout():
     """Train-mode in-kernel dropout (Mosaic PRNG, TPU-only): mask
     structure + determinism of the out_drop second output, and fwd/bwd
@@ -536,6 +587,8 @@ if __name__ == "__main__":
         test_merge_ln(fast=fast)
     if only in (None, "lnmlp"):
         test_ln_mlp(fast=fast)
+    if only in (None, "head"):
+        test_head(fast=fast)
     if only in (None, "lndrop") and plat != "cpu" and not fast:
         test_ln_lora_dropout()
     if FAILURES:
