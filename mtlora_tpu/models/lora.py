@@ -138,6 +138,25 @@ def _manual_ln_f(x, gamma, beta, eps: float = 1e-5):
     return out.astype(x.dtype)
 
 
+def _fast_drop(rng, rate: float, x):
+    """Inverted dropout via the hardware RNG (jax.lax.rng_bit_generator)
+    instead of threefry — the per-element threefry mask generation was
+    the dominant cost of the full-width adapter-dropout passes on the
+    flagship trace (select_n+rng ~1 ms/pass at stage 0 vs ~0.4 ms for
+    the where itself). Same keep distribution (P[keep] = 1-rate), a
+    DIFFERENT stream than jax.random.bernoulli — acceptable under the
+    documented dropout-stream contract (see ops/pallas_ln_lora.py note);
+    deterministic given the rng key."""
+    k = rng
+    if jnp.issubdtype(getattr(k, "dtype", None), jax.dtypes.prng_key):
+        k = jax.random.key_data(k)
+    k = k.reshape(-1).astype(jnp.uint32)
+    k4 = jnp.tile(k, 4)[:4]
+    _, bits = jax.lax.rng_bit_generator(k4, x.shape, dtype=jnp.uint32)
+    thr = jnp.uint32(int(rate * (2 ** 32)))
+    return jnp.where(bits >= thr, x / (1.0 - rate), 0.0)
+
+
 def _kaiming_uniform_rows(key, shape, dtype):
     """torch kaiming_uniform_(a=sqrt(5)) on an [r, fan_in]-style tensor:
     U(-1/sqrt(fan_in), 1/sqrt(fan_in)). Here shape is [fan_in, r] (JAX
@@ -272,9 +291,7 @@ class MTLoRALinear(nn.Module):
             # (train-mode only; same distribution, different stream).
             xn = _manual_ln_f(x, gamma, beta).astype(dtype)
             if drop > 0.0:
-                rng = self.make_rng("dropout")
-                keep = jax.random.bernoulli(rng, 1.0 - drop, xn.shape)
-                xn = jnp.where(keep, xn / (1.0 - drop), 0.0)
+                xn = _fast_drop(self.make_rng("dropout"), drop, xn)
             xn = xn.reshape(-1, self.in_features)
             mid1T = jnp.einsum("mi,tir->trm", xn, A_t.astype(dtype))
         else:
@@ -400,10 +417,8 @@ class MTLoRALinear(nn.Module):
                 # standalone bernoulli+where pass is skipped
                 x_drop = x_dropped.astype(dtype)
             else:
-                rng = self.make_rng("dropout")
-                keep = jax.random.bernoulli(rng, 1.0 - spec.dropout,
-                                            xc.shape)
-                x_drop = jnp.where(keep, xc / (1.0 - spec.dropout), 0.0)
+                x_drop = _fast_drop(self.make_rng("dropout"),
+                                    spec.dropout, xc)
 
         # ---- shared branch ------------------------------------------------
         # merged fast path: the shared update is already folded into the
@@ -766,9 +781,8 @@ class LoRALinear(nn.Module):
                        (self.r, self.out_features), param_dtype)
         x_drop = xc
         if self.lora_dropout > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-            keep = jax.random.bernoulli(rng, 1.0 - self.lora_dropout, xc.shape)
-            x_drop = jnp.where(keep, xc / (1.0 - self.lora_dropout), 0.0)
+            x_drop = _fast_drop(self.make_rng("dropout"),
+                                self.lora_dropout, xc)
         scaling = self.lora_alpha / self.r
         return y + (x_drop @ A.astype(dtype)) @ B.astype(dtype) * scaling
 
