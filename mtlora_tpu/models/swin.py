@@ -48,11 +48,15 @@ from mtlora_tpu.ops.attention import (
     window_attention,
 )
 from mtlora_tpu.ops.pallas_window_attn import (
+    fused_window_attention_padded,
     fused_window_attention_windowed,
 )
 from mtlora_tpu.ops.window import (
+    npad2,
     shift_window_partition,
+    shift_window_partition_pad2,
     window_merge_unshift,
+    window_merge_unshift_pad2,
 )
 
 _NO_LORA = LoRASpec(r_shared=0)
@@ -386,13 +390,30 @@ class WindowAttention(nn.Module):
         # output (the reference CUDA kernel permutes the full qkv,
         # swin_window_process_kernel.cu:42-67). The qkv output is then
         # born in window order and feeds the attention core directly.
+        #
+        # Kernel route: the partition emits the PADDED pack-2 order
+        # (window pairs padded 2*ws*ws -> NPAD2 sublane-aligned rows) so
+        # the [B, Lp, C] <-> [B*npairs, NPAD2, *] reshapes at the kernel
+        # boundary are free bitcasts instead of HBM repacks; the qkv
+        # GEMM pays the ~6% pad rows, the attention kernel's MXU cost is
+        # unchanged (it padded the rows internally anyway), outputs are
+        # bit-identical (tools/pad_probe.py).
         nw = (H // ws) * (W // ws)
-        xw = shift_window_partition(
-            x.reshape(B, H, W, C), ws, shift).reshape(B, L, C)
+        attn_dropping = self.attn_drop > 0 and not deterministic
+        use_fused = self.use_pallas and not attn_dropping
+        pad2 = use_fused and nw % 2 == 0 and 2 * N <= 128
+        if pad2:
+            npairs = nw // 2
+            npad = npad2(ws)
+            xw = shift_window_partition_pad2(x, H, W, ws, shift)
+        else:
+            xw = shift_window_partition(
+                x.reshape(B, H, W, C), ws, shift).reshape(B, L, C)
+        Lw = xw.shape[1]
         if ln1 is not None:
             gamma1, beta1 = ln1
             if _ln_fusible(self.spec, mtlora, self.qkv_lora,
-                           B * L, C, 3 * C, self.dtype or x.dtype,
+                           B * Lw, C, 3 * C, self.dtype or x.dtype,
                            deterministic):
                 seed = _drop_seed(self, self.spec, deterministic)
                 qkv_out, _ = qkv(xw, deterministic=deterministic,
@@ -402,23 +423,33 @@ class WindowAttention(nn.Module):
                                  deterministic=deterministic)
         else:
             qkv_out, _ = qkv(xw, deterministic=deterministic)  # windowed
-        qkv_w = qkv_out.reshape(B * nw, N, 3 * C)
-        attn_dropping = self.attn_drop > 0 and not deterministic
-        if self.use_pallas and not attn_dropping:
-            attn_out = fused_window_attention_windowed(
-                qkv_w, self.num_heads, rel_bias, nw, shift_mask,
-                scale=self.qk_scale)  # [B*nW, N, C]
+        interp = jax.default_backend() == "cpu"
+        if pad2:
+            qkv_w = qkv_out.reshape(B * npairs, npad, 3 * C)  # free
+            attn_out = fused_window_attention_padded(
+                qkv_w, self.num_heads, rel_bias, npairs, shift_mask,
+                scale=self.qk_scale, interpret=interp)
+            attn_tok = window_merge_unshift_pad2(
+                attn_out.reshape(B, npairs * npad, C), H, W, ws,
+                shift)  # [B, L, C]
         else:
-            drop_rng = (self.make_rng("dropout")
-                        if attn_dropping else None)
-            attn_out = window_attention(
-                qkv_w, self.num_heads, rel_bias, shift_mask,
-                scale=self.qk_scale,
-                dropout_rate=0.0 if deterministic else self.attn_drop,
-                dropout_rng=drop_rng)  # [B*nW, N, C]
-        attn_tok = window_merge_unshift(
-            attn_out.reshape(-1, ws, ws, C), ws, shift, H, W,
-            (B,)).reshape(B, L, C)
+            qkv_w = qkv_out.reshape(B * nw, N, 3 * C)
+            if use_fused:
+                attn_out = fused_window_attention_windowed(
+                    qkv_w, self.num_heads, rel_bias, nw, shift_mask,
+                    scale=self.qk_scale, interpret=interp)
+            else:
+                drop_rng = (self.make_rng("dropout")
+                            if attn_dropping else None)
+                attn_out = window_attention(
+                    qkv_w, self.num_heads, rel_bias, shift_mask,
+                    scale=self.qk_scale,
+                    dropout_rate=(0.0 if deterministic
+                                  else self.attn_drop),
+                    dropout_rng=drop_rng)  # [B*nW, N, C]
+            attn_tok = window_merge_unshift(
+                attn_out.reshape(-1, ws, ws, C), ws, shift, H, W,
+                (B,)).reshape(B, L, C)
         y, y_tasks = proj(attn_tok, deterministic=deterministic,
                           factored_tasks=factored_tasks and
                           self.proj_tasks)

@@ -76,48 +76,28 @@ def _gelu(z):
     return z * _cdf(z)
 
 
-# bf16 fast path: the tanh-approximation gelu in sigmoid form,
-#   gelu(z) ~= z * sigmoid(A z + B z^3),  A = 2c, B = 2cd
-# (c = sqrt(2/pi), d = 0.044715). Max |err| vs exact-erf gelu is
-# 4.7e-4 — an order of magnitude below bf16 round-off of O(1)
-# activations — at roughly half the VPU ops of the A&S erf polynomial.
-# Measured on the stage-0 adapter-tail shape (tools/adapter_variants.py):
-# the erf path dominates that kernel; the sigmoid form runs at the
-# kernel's MXU-structure floor. fp32 kernels keep the exact erf form so
-# fp32 parity suites are unaffected.
-_GELU_A = 1.5957691216057308
-_GELU_B = 0.07135481627573646
-
-
-def _sig(w):
-    """sigmoid via exp + approximate reciprocal (+1 Newton step).
-
-    The clamp is load-bearing: without it exp(-w) overflows to inf for
-    large-magnitude activations (|z| ~ 12 suffices) and the Newton
-    refinement computes inf * 0 = NaN. sigmoid(+-30) is 1/0 to fp32
-    round-off. (Caught by the on-TPU fast equality gate at ln_mlp
-    stage-1 shapes.)"""
-    w = jnp.clip(w, -30.0, 30.0)
-    e = jnp.exp(-w)
-    d = 1.0 + e
-    try:
-        t = pl.reciprocal(d, approx=True)
-        t = t * (2.0 - d * t)
-    except Exception:  # pragma: no cover - non-pallas trace context
-        t = 1.0 / d
-    return t
+# bf16 fast path: the tanh-approximation gelu,
+#   gelu(z) ~= 0.5 z (1 + tanh(c z + c d z^3)),
+# c = sqrt(2/pi), d = 0.044715. Max |err| vs exact-erf gelu is 4.7e-4 —
+# an order of magnitude below bf16 round-off of O(1) activations.
+# fp32 kernels keep the exact erf form so fp32 parity suites are
+# unaffected. History: round 4 replaced the A&S erf polynomial with the
+# algebraically-identical sigmoid form z*sigmoid(2w) (exp + approximate
+# reciprocal); round 5 measured the literal jnp.tanh form ~20% faster
+# on the stage-0 adapter-tail kernel (tools/tail_mb_probe.py: fwd
+# 4.02 -> 3.28 ms, bwd 8.76 -> 7.98 ms) — Mosaic's native tanh beats
+# the exp+reciprocal pair. tanh also saturates cleanly, so the overflow
+# clamps the sigmoid form needed are gone: at |z| > ~6, th == +-1 in
+# fp32 and the derivative's (1 - th^2) * O(z^3) term is exactly 0.
+_GELU_C = 0.7978845608028654
+_GELU_D = 0.044715
 
 
 def _gelu_fwd(z, cheap: bool):
     if not cheap:
         return _gelu(z)
-    # zc: beyond |z|=20, gelu is z/0 and dgelu 1/0 to fp32 round-off —
-    # the clamp keeps the polynomial factors of the DERIVATIVE from
-    # amplifying the sigmoid tail (s(1-s)*O(z^3) garbage at |z|>1e3)
-    # and keeps fwd/pair bit-identical
-    zc = jnp.clip(z, -20.0, 20.0)
-    z2 = zc * zc
-    return z * _sig(zc * (_GELU_A + _GELU_B * z2))
+    th = jnp.tanh(z * (_GELU_C + (_GELU_C * _GELU_D) * (z * z)))
+    return 0.5 * z * (1.0 + th)
 
 
 def _gelu_pair(z, cheap: bool):
@@ -125,11 +105,13 @@ def _gelu_pair(z, cheap: bool):
     if not cheap:
         cdf = _cdf(z)
         return z * cdf, cdf + z * (jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI)
-    zc = jnp.clip(z, -20.0, 20.0)
-    z2 = zc * zc
-    s = _sig(zc * (_GELU_A + _GELU_B * z2))
-    return (z * s,
-            s + zc * s * (1.0 - s) * (_GELU_A + 3.0 * _GELU_B * z2))
+    z2 = z * z
+    th = jnp.tanh(z * (_GELU_C + (_GELU_C * _GELU_D) * z2))
+    h = 0.5 * z * (1.0 + th)
+    dg = (0.5 * (1.0 + th)
+          + 0.5 * z * (1.0 - th * th) * (_GELU_C + (3.0 * _GELU_C
+                                                    * _GELU_D) * z2))
+    return h, dg
 
 
 def _prec(dtype):

@@ -549,6 +549,61 @@ def fused_window_attention(
         out.reshape(-1, ws, ws, C), ws, shift, H, W, (B,))
 
 
+def _pad2_bias(bias: jnp.ndarray, npad: int) -> jnp.ndarray:
+    """[nH, N, N] -> padded pack-2 block-diagonal [nH, npad, npad]:
+    window blocks at offsets 0 and N, -1e9 everywhere else INCLUDING the
+    pad rows/columns. Pad keys are thus invisible to real queries (exp
+    underflows to exactly 0 -> backward ds is exactly 0 there too); pad
+    queries produce a harmless uniform row that the merge gather drops.
+    Differentiable: the .at[].set VJP slices the diagonal blocks back
+    onto the original table."""
+    nH, N, _ = bias.shape
+    out = jnp.full((nH, npad, npad), _PACK_NEG, bias.dtype)
+    out = out.at[:, :N, :N].set(bias)
+    out = out.at[:, N:2 * N, N:2 * N].set(bias)
+    return out
+
+
+def _pad2_mask(mask: jnp.ndarray, npad: int) -> jnp.ndarray:
+    """[nW, N, N] -> [nW//2, npad, npad]; zeros at pads (the bias
+    already carries their -1e9)."""
+    nW, N, _ = mask.shape
+    m = mask.reshape(nW // 2, 2, N, N)
+    out = jnp.zeros((nW // 2, npad, npad), mask.dtype)
+    out = out.at[:, :N, :N].set(m[:, 0])
+    out = out.at[:, N:2 * N, N:2 * N].set(m[:, 1])
+    return out
+
+
+def fused_window_attention_padded(
+    qkv_p: jnp.ndarray,
+    num_heads: int,
+    rel_bias: jnp.ndarray,
+    num_pairs: int,
+    shift_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention core on PADDED pack-2 windowed qkv
+    ``[B*npairs, NPAD, 3C]`` (two ws*ws windows at row offsets 0 and
+    ws*ws, pads after — see ops/window.shift_window_partition_pad2).
+    Because NPAD is sublane-aligned, the caller's reshapes from/to the
+    flat ``[B, Lp, C]`` token stream are free; the MXU was already
+    padding the 2*ws*ws rows to NPAD internally, so kernel time is
+    unchanged (tools/pad_probe.py: bit-identical outputs, -3.4 ms/step
+    at the flagship shapes). ``num_pairs`` is window PAIRS per image.
+    Returns ``[B*npairs, NPAD, C]`` in the same padded order."""
+    npad, C3 = qkv_p.shape[-2:]
+    C = C3 // 3
+    if scale is None:
+        scale = (C // num_heads) ** -0.5
+    bias_p = _pad2_bias(rel_bias, npad)
+    mask_p = (_pad2_mask(shift_mask, npad) if shift_mask is not None
+              else None)
+    return _fused_windows(qkv_p, bias_p, mask_p, num_heads, num_pairs,
+                          scale, interpret)
+
+
 def fused_window_attention_windowed(
     qkv_w: jnp.ndarray,
     num_heads: int,

@@ -90,6 +90,97 @@ def _permute_bwd(H, W, ws, shift, inverse, _, g):
 _permute_tokens.defvjp(_permute_fwd, _permute_bwd)
 
 
+def npad2(ws: int) -> int:
+    """Padded pack-2 row count: 2*ws*ws rounded up to the 8-sublane
+    tile (ws=7 -> 104)."""
+    return -(-2 * ws * ws // 8) * 8
+
+
+@functools.lru_cache(maxsize=None)
+def _pad2_perms(H: int, W: int, ws: int, shift: int):
+    """Index maps for the PADDED pack-2 windowed token order.
+
+    Window pair i occupies padded slots [i*npad, i*npad + 2*ws*ws);
+    the remaining slots are pads (they source token 0 and are masked
+    with -1e9 key columns in the attention bias). Because npad2(ws) is
+    a multiple of the 8-sublane tile, the XLA reshapes [B, Lp, C] <->
+    [B*npairs, npad, C] at the kernel boundary are free bitcasts —
+    unlike the N=49/98 layouts, whose misaligned reshapes materialize
+    as HBM repacks (the round-5 trace's 25.5 ms "layout (blocks)"
+    bucket; measured win in tools/pad_probe.py).
+
+    Returns (perm_pad [Lp], pos [L], pad_mask [Lp]) where
+    perm_pad maps padded slot -> source token, pos maps token -> its
+    padded slot, and pad_mask marks real slots.
+    """
+    perm, _ = _shift_partition_perm(H, W, ws, shift)
+    nw = (H // ws) * (W // ws)
+    npairs = nw // 2
+    npad = npad2(ws)
+    Lp = npairs * npad
+    n2 = 2 * ws * ws
+    perm_pad = np.zeros(Lp, np.int32)
+    pad_mask = np.zeros(Lp, np.bool_)
+    pos = np.zeros(H * W, np.int32)
+    for i in range(npairs):
+        src = perm[i * n2:(i + 1) * n2]
+        perm_pad[i * npad:i * npad + n2] = src
+        pad_mask[i * npad:i * npad + n2] = True
+        pos[src] = i * npad + np.arange(n2)
+    return perm_pad, pos, pad_mask
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def shift_window_partition_pad2(x2, H, W, ws, shift):
+    """[..., H*W, C] tokens -> [..., Lp, C] padded pack-2 window order
+    (fused cyclic shift + partition + pad, one gather). The caller
+    reshapes the result to [B*npairs, npad2(ws), C] for FREE."""
+    perm_pad, _, _ = _pad2_perms(H, W, ws, shift)
+    return jnp.take(x2, jnp.asarray(perm_pad), axis=-2)
+
+
+def _ppad2_fwd(x2, H, W, ws, shift):
+    return shift_window_partition_pad2(x2, H, W, ws, shift), None
+
+
+def _ppad2_bwd(H, W, ws, shift, _, g):
+    # Pad slots carry exactly-zero cotangents — their values reach the
+    # loss only through -1e9-masked attention keys (exp underflows to
+    # exactly 0) and through pad-query outputs that merge_pad2 discards
+    # — so gathering only the real slots is the exact VJP.
+    _, pos, _ = _pad2_perms(H, W, ws, shift)
+    return (jnp.take(g, jnp.asarray(pos), axis=-2),)
+
+
+shift_window_partition_pad2.defvjp(_ppad2_fwd, _ppad2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def window_merge_unshift_pad2(xp, H, W, ws, shift):
+    """[..., Lp, C] padded window order -> [..., H*W, C] tokens
+    (inverse of shift_window_partition_pad2; drops pad slots)."""
+    _, pos, _ = _pad2_perms(H, W, ws, shift)
+    return jnp.take(xp, jnp.asarray(pos), axis=-2)
+
+
+def _mpad2_fwd(xp, H, W, ws, shift):
+    return window_merge_unshift_pad2(xp, H, W, ws, shift), None
+
+
+def _mpad2_bwd(H, W, ws, shift, _, g):
+    # d_xp[real slot] = g[token]; d_xp[pad slot] = 0. The zeros are
+    # REQUIRED for exactness: pad queries attend to real keys, so a
+    # nonzero pad cotangent would pollute dV/dK in the attention
+    # backward. The where fuses into the gather (one XLA pass).
+    perm_pad, _, pad_mask = _pad2_perms(H, W, ws, shift)
+    gp = jnp.take(g, jnp.asarray(perm_pad), axis=-2)
+    m = jnp.asarray(pad_mask)[(None,) * (g.ndim - 2) + (slice(None), None)]
+    return (jnp.where(m, gp, jnp.zeros((), g.dtype)),)
+
+
+window_merge_unshift_pad2.defvjp(_mpad2_fwd, _mpad2_bwd)
+
+
 def merge2x2_cat(x, H: int, W: int):
     """PatchMerging's 2x2 gather: [.., H*W, C] -> [.., (H/2)*(W/2), 4C]
     with the reference x0/x1/x2/x3 channel order

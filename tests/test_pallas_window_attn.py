@@ -167,3 +167,74 @@ def test_merge2x2_cat_matches_strided_slices():
     gk = jax.grad(lambda x: jnp.sum(merge2x2_cat(x, H, W) * g))(x)
     gr = jax.grad(lambda x: jnp.sum(ref(x) * g))(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr))
+
+
+# ------------------------------------------------------ padded pack-2 path
+def padded_path(qkv_map, num_heads, rel_bias, ws, shift, mask,
+                interpret=True):
+    """The model's pad-104 route: padded partition -> padded kernel ->
+    padded merge (swin.py WindowAttention pad2 branch)."""
+    from mtlora_tpu.ops.pallas_window_attn import (
+        fused_window_attention_padded)
+    from mtlora_tpu.ops.window import (
+        npad2, shift_window_partition_pad2, window_merge_unshift_pad2)
+    B, H, W, C3 = qkv_map.shape
+    C = C3 // 3
+    nw = (H // ws) * (W // ws)
+    npairs = nw // 2
+    npad = npad2(ws)
+    xp = shift_window_partition_pad2(
+        qkv_map.reshape(B, H * W, C3), H, W, ws, shift)
+    qkv_p = xp.reshape(B * npairs, npad, C3)
+    out = fused_window_attention_padded(
+        qkv_p, num_heads, rel_bias, npairs, mask, interpret=interpret)
+    return window_merge_unshift_pad2(
+        out.reshape(B, npairs * npad, C), H, W, ws, shift).reshape(
+        B, H, W, C)
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_padded_matches_reference_fwd(shift):
+    """ws=5 -> pack-2 rows 50 pad to 56: real pad slots exercised
+    (pad keys masked, pad query rows dropped by the merge)."""
+    qkv, bias, mask = make_case(7, B=2, H=20, W=20, C=48, heads=4, ws=5,
+                                shift=shift)
+    ref = reference_path(qkv, 4, bias, 5, shift, mask)
+    out = padded_path(qkv, 4, bias, 5, shift, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_padded_matches_reference_grad(shift):
+    """dqkv through both padded permutes' custom VJPs (exact zeros at
+    pad slots are load-bearing) + dbias through _pad2_bias's scatter."""
+    qkv, bias, mask = make_case(8, B=2, H=20, W=20, C=48, heads=4, ws=5,
+                                shift=shift)
+
+    def loss_ref(qkv, bias):
+        o = reference_path(qkv, 4, bias, 5, shift, mask)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_pad(qkv, bias):
+        o = padded_path(qkv, 4, bias, 5, shift, mask)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    g_pad = jax.grad(loss_pad, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(g_pad[0]),
+                               np.asarray(g_ref[0]), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_pad[1]),
+                               np.asarray(g_ref[1]), atol=2e-4, rtol=1e-4)
+
+
+def test_padded_flagship_geometry_bf16():
+    """ws=7 pack-2 -> 104 rows, swin-tiny stage-0 channel geometry."""
+    qkv, bias, _ = make_case(9, B=1, H=28, W=28, C=96, heads=3, ws=7,
+                             shift=3, dtype=jnp.bfloat16)
+    mask = jnp.asarray(shift_attention_mask(28, 28, 7, 3))
+    ref = reference_path(qkv, 3, bias, 7, 3, mask)
+    out = padded_path(qkv, 3, bias, 7, 3, mask)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)

@@ -148,3 +148,26 @@ def test_ln_fused_cpu_dropout_falls_back():
         rngs={"dropout": jax.random.PRNGKey(1),
               "droppath": jax.random.PRNGKey(2)})
     assert all(np.all(np.isfinite(np.asarray(o[0]))) for o in outs)
+
+
+def test_use_pallas_attention_pad2_parity():
+    """The pad2 attention route (padded pack-2 windowed layout,
+    swin.py WindowAttention) must reproduce the fallback path through a
+    full backbone forward — ws=5 makes npad2=56 > 50, so real pad slots
+    flow through LN+qkv and the kernel; stage 1 (5x5 tokens, nw=1 odd)
+    covers the non-pad2 fallback branch in the same run."""
+    model_k = SwinTransformerMTLoRA(
+        img_size=40, embed_dim=16, depths=(2, 1), num_heads=(2, 2),
+        window_size=5, mtlora=MTL, drop_path_rate=0.0, use_pallas=True)
+    model_j = SwinTransformerMTLoRA(
+        img_size=40, embed_dim=16, depths=(2, 1), num_heads=(2, 2),
+        window_size=5, mtlora=MTL, drop_path_rate=0.0, use_pallas=False)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 40, 40, 3),
+                    jnp.float32)
+    variables = model_j.init(jax.random.PRNGKey(1), x)
+    out_j = model_j.apply(variables, x)
+    out_k = model_k.apply(variables, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5),
+        out_j, out_k)
