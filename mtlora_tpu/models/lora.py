@@ -592,6 +592,16 @@ class TaskStream(NamedTuple):
     coef: Optional[jnp.ndarray]     # [T, B, 1] or None (== all ones)
 
 
+class DeferredTasks(NamedTuple):
+    """Stage-final task streams handed to PatchMerging UNEXPANDED so the
+    fused factored-task merge kernel (ops/pallas_task_merge.py) can
+    consume them; the [T, B, L, C] tensor never materializes.  Falls
+    back to expand_task_streams when the kernel's shape gate fails."""
+    stream: TaskStream
+    f2: FactoredTasks
+    coef2: Optional[jnp.ndarray]    # [T, B, 1] or None
+
+
 def fold_task_ln_project(stream: TaskStream, gamma, beta, A_t,
                          eps: float = 1e-5):
     """LN(y_t) @ A_t in rank space without materializing y_t.

@@ -33,6 +33,7 @@ import numpy as np
 from flax import linen as nn
 
 from mtlora_tpu.models.lora import (
+    DeferredTasks,
     FactoredTasks,
     LoRASpec,
     MTLoRALinear,
@@ -481,6 +482,9 @@ class SwinBlock(nn.Module):
     use_pallas_gemm: bool = False
     use_pallas_adapter: bool = False
     use_pallas_ln: bool = False
+    # hand the stage-final task streams to PatchMerging UNEXPANDED
+    # (DeferredTasks) for the fused factored-task merge kernel
+    defer_expand: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -611,10 +615,14 @@ class SwinBlock(nn.Module):
         if isinstance(attn_tasks, TaskStream):
             # the ONLY materialization of the task streams in this
             # block: base + dp1(attn delta) + dp2(mlp delta), one write
+            # — or NO materialization at all when the downstream
+            # PatchMerging consumes the factored form directly
             assert isinstance(mlp_tasks, FactoredTasks)
             T = attn_tasks.midT.shape[0]
             coef2 = droppath_coef(_dp_rng(), self.drop_path, T, B,
                                   deterministic)
+            if self.defer_expand:
+                return x, DeferredTasks(attn_tasks, mlp_tasks, coef2)
             return x, expand_task_streams(attn_tasks, mlp_tasks, coef2)
         if isinstance(mlp_tasks, FactoredTasks):
             # quirk preserved: no shortcut when only the MLP produced
@@ -701,6 +709,31 @@ class PatchMerging(nn.Module):
             out = self._folded(x, H, W, C, lead, gamma, beta, kernel)
             if x_tasks is None:
                 return out, None
+            if isinstance(x_tasks, DeferredTasks):
+                # factored task streams -> fused merge kernel; the
+                # [T, B, L, C] expansion (and its backward reduce_sum
+                # over T + cotangent layout copy) never happens
+                from mtlora_tpu.ops.pallas_task_merge import (
+                    task_merge_down,
+                    task_merge_supported,
+                )
+
+                d = x_tasks
+                dtype = self.dtype or x.dtype
+                Bb = d.stream.base.shape[0]
+                T = d.stream.midT.shape[0]
+                S = d.stream.midT.shape[1] + d.f2.midT.shape[1]
+                if (task_merge_supported(Bb * H // 2, W // 2, C, T, S)
+                        and self._fold_kernel_ok(T * Bb * H * W, C,
+                                                 dtype)):
+                    interp = jax.default_backend() == "cpu"
+                    out_t = task_merge_down(
+                        d.stream, d.f2, d.coef2, gamma.astype(dtype),
+                        beta.astype(dtype), kernel.astype(dtype), H, W,
+                        train_w=not self.freeze_pretrained,
+                        interpret=interp)
+                    return out, out_t
+                x_tasks = expand_task_streams(d.stream, d.f2, d.coef2)
             T = x_tasks.shape[0]
             t2 = x_tasks.reshape((-1,) + x_tasks.shape[-2:])
             out_t = self._folded(t2, H, W, C, [t2.shape[0]], gamma, beta,
@@ -709,6 +742,9 @@ class PatchMerging(nn.Module):
 
         # adapter-reduction path (DOWNSAMPLER_ENABLED): batch shared +
         # task streams through the single module call
+        if isinstance(x_tasks, DeferredTasks):  # not deferred here
+            x_tasks = expand_task_streams(x_tasks.stream, x_tasks.f2,
+                                          x_tasks.coef2)
         if x_tasks is not None:
             T, B = x_tasks.shape[0], x.shape[0]
             x = jnp.concatenate([x[None], x_tasks], axis=0).reshape(
@@ -870,6 +906,15 @@ class BasicLayer(nn.Module):
         if self.use_remat:
             # argnums: (self, x, deterministic) -> deterministic is static
             Block = nn.remat(SwinBlock, static_argnums=(2,))
+        # stage-final streams stay factored when the downstream merge
+        # can consume them (fused task-merge kernel; PatchMerging falls
+        # back to expansion if its in-call gates fail)
+        down_no_lora = not (self.mtlora.enabled
+                            and self.mtlora.downsampler_enabled
+                            and self.spec.r_shared > 0)
+        defer_ok = (self.has_downsample and down_no_lora
+                    and self.use_pallas_ln
+                    and (self.input_resolution[1] // 2) % 8 == 0)
         for i in range(self.depth):
             blk = Block(
                 dim=self.dim, input_resolution=self.input_resolution,
@@ -885,6 +930,7 @@ class BasicLayer(nn.Module):
                 use_pallas_gemm=self.use_pallas_gemm,
                 use_pallas_adapter=self.use_pallas_adapter,
                 use_pallas_ln=self.use_pallas_ln,
+                defer_expand=defer_ok and i == self.depth - 1,
                 dtype=self.dtype, name=f"blocks_{i}")
             x, t = blk(x, deterministic)
             if t is not None:
